@@ -1,0 +1,127 @@
+"""Video-coordinate 3-axis rotary position embeddings for the LTX DiT.
+
+Exact frequency recipe of the reference (src/models/ltx_video/
+ltx_transformer.rs:342-525):
+
+- ``steps = dim // 6`` frequencies per axis: ``theta ** linspace(0, 1, steps)
+  * pi/2`` (f32),
+- the per-token grid (frame, height, width coords) is scaled to ``g*2 - 1``,
+- angles are laid out freq-major interleaved across axes:
+  ``[f0,h0,w0, f1,h1,w1, ...]`` then repeat_interleave(2),
+- ``dim % 6`` leftover lanes are padded at the FRONT with cos=1 / sin=0,
+- rotation is applied to the *full* inner dim before the head split, in f32
+  (ltx_transformer.rs:314-339).
+
+The (cos, sin) tables depend only on the coordinate grid, so the pipeline
+precomputes them once per video shape instead of per forward.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def rope_freqs(dim: int, theta: float = 10000.0) -> np.ndarray:
+    """The ``dim//6`` base angular frequencies, in f32 (host-side)."""
+    steps = dim // 6
+    if steps <= 1:
+        lin = np.zeros((max(steps, 1),), dtype=np.float32)
+    else:
+        lin = (np.arange(steps, dtype=np.float32) / np.float32(steps - 1)).astype(
+            np.float32
+        )
+    freqs = np.exp(lin * np.float32(math.log(theta))).astype(np.float32)
+    return freqs * np.float32(math.pi / 2.0)
+
+
+def video_coords_grid(num_frames: int, height: int, width: int) -> np.ndarray:
+    """Default (f, h, w) integer grid, flattened to [seq, 3] (f-major)."""
+    f = np.arange(num_frames, dtype=np.float32)
+    h = np.arange(height, dtype=np.float32)
+    w = np.arange(width, dtype=np.float32)
+    gf, gh, gw = np.meshgrid(f, h, w, indexing="ij")
+    return np.stack([gf, gh, gw], axis=-1).reshape(-1, 3)
+
+
+def rope_cos_sin(
+    grid,
+    dim: int,
+    theta: float = 10000.0,
+):
+    """grid [..., seq, 3] (already normalized to base sizes) -> (cos, sin).
+
+    Output shapes [..., seq, dim], f32.
+    """
+    freqs = jnp.asarray(rope_freqs(dim, theta))  # [steps]
+    steps = freqs.shape[0]
+
+    g = grid.astype(jnp.float32)[..., None] * 2.0 - 1.0  # [..., seq, 3, 1]
+    ang = g * freqs  # [..., seq, 3, steps]
+    # freq-major across axes: transpose the last two dims then flatten
+    ang = jnp.swapaxes(ang, -1, -2).reshape(*ang.shape[:-2], 3 * steps)
+
+    cos = jnp.repeat(jnp.cos(ang), 2, axis=-1)
+    sin = jnp.repeat(jnp.sin(ang), 2, axis=-1)
+
+    rem = dim % 6
+    if rem:
+        pad_shape = (*cos.shape[:-1], rem)
+        cos = jnp.concatenate([jnp.ones(pad_shape, cos.dtype), cos], axis=-1)
+        sin = jnp.concatenate([jnp.zeros(pad_shape, sin.dtype), sin], axis=-1)
+    return cos, sin
+
+
+def normalize_video_coords(coords, base_num_frames: int, base_height: int, base_width: int):
+    """coords [..., seq, 3] -> normalized by (base_f, base_h, base_w)."""
+    base = jnp.asarray(
+        [float(base_num_frames), float(base_height), float(base_width)],
+        dtype=jnp.float32,
+    )
+    return coords.astype(jnp.float32) / base
+
+
+def default_grid_normalized(
+    num_frames: int,
+    height: int,
+    width: int,
+    base_num_frames: int,
+    base_height: int,
+    base_width: int,
+    patch_size: int = 1,
+    patch_size_t: int = 1,
+    rope_interpolation_scale=None,
+) -> np.ndarray:
+    """The reference's ``prepare_video_coords`` path: raw grid scaled by
+    (scale * patch / base) per axis (ltx_transformer.rs:373-433)."""
+    grid = video_coords_grid(num_frames, height, width)
+    if rope_interpolation_scale is not None:
+        sf, sh, sw = rope_interpolation_scale
+        scale = np.array(
+            [
+                sf * patch_size_t / base_num_frames,
+                sh * patch_size / base_height,
+                sw * patch_size / base_width,
+            ],
+            dtype=np.float32,
+        )
+        grid = grid * scale
+    return grid
+
+
+def apply_rotary_emb(x, cos, sin):
+    """x [..., S, C] with (cos, sin) [..., S, C]; rotation math in f32.
+
+    Pairs are interleaved: (x0, x1) -> (x0*cos - x1*sin, x1*cos + x0*sin).
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    shape = xf.shape
+    half = shape[-1] // 2
+    x2 = xf.reshape(*shape[:-1], half, 2)
+    x_real, x_imag = x2[..., 0], x2[..., 1]
+    x_rot = jnp.stack([-x_imag, x_real], axis=-1).reshape(shape)
+    out = xf * cos.astype(jnp.float32) + x_rot * sin.astype(jnp.float32)
+    return out.astype(dtype)

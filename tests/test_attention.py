@@ -1,0 +1,101 @@
+"""Attention tests: XLA reference path vs torch SDPA, Pallas kernel (interpret
+mode on CPU) vs the XLA path — the reference's flash-vs-manual equivalence
+(ltx_transformer.rs:689-741)."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from candle_video_tpu.ops.attention import attention_xla
+from candle_video_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def _torch_sdpa(q, k, v, scale, bias=None):
+    qt = torch.from_numpy(q).permute(0, 2, 1, 3)
+    kt = torch.from_numpy(k).permute(0, 2, 1, 3)
+    vt = torch.from_numpy(v).permute(0, 2, 1, 3)
+    mask = torch.from_numpy(bias) if bias is not None else None
+    out = torch.nn.functional.scaled_dot_product_attention(
+        qt, kt, vt, attn_mask=mask, scale=scale
+    )
+    return out.permute(0, 2, 1, 3).numpy()
+
+
+def test_attention_xla_vs_torch(rng):
+    b, s, h, d = 2, 33, 4, 16
+    q = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    got = np.asarray(attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))
+    np.testing.assert_allclose(got, _torch_sdpa(q, k, v, scale), atol=2e-5)
+
+
+def test_attention_xla_cross_with_key_bias(rng):
+    b, s, kk, h, d = 2, 17, 9, 4, 16
+    q = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, kk, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, kk, h, d)).astype(np.float32)
+    # -10000-style additive padding bias (1 valid, 0 pad), [B,1,1,K]
+    mask01 = (rng.random((b, kk)) > 0.3).astype(np.float32)
+    bias = ((1.0 - mask01) * -10000.0)[:, None, None, :].astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    got = np.asarray(
+        attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, jnp.asarray(bias))
+    )
+    np.testing.assert_allclose(got, _torch_sdpa(q, k, v, scale, bias), atol=2e-5)
+
+
+def test_flash_attention_matches_xla(rng):
+    b, s, h, d = 1, 300, 2, 64  # non-multiple of block sizes
+    q = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    ref = np.asarray(attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))
+    got = np.asarray(
+        flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            scale=scale, block_q=128, block_k=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_flash_attention_with_key_bias(rng):
+    b, s, h, d = 1, 130, 2, 32
+    q = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    mask01 = (rng.random((b, s)) > 0.2).astype(np.float32)
+    bias = ((1.0 - mask01) * -10000.0)[:, None, None, :].astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    ref = np.asarray(
+        attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, jnp.asarray(bias))
+    )
+    got = np.asarray(
+        flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            scale=scale, bias=jnp.asarray(bias),
+            block_q=128, block_k=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_flash_attention_bf16(rng):
+    b, s, h, d = 1, 256, 2, 64
+    q = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    ref = np.asarray(attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))
+    got = np.asarray(
+        flash_attention(
+            jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+            jnp.asarray(v, jnp.bfloat16), scale=scale,
+            block_q=128, block_k=128, interpret=True,
+        ).astype(jnp.float32)
+    )
+    assert np.mean((got - ref) ** 2) < 1e-4

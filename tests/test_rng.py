@@ -1,0 +1,68 @@
+"""Pcg32 determinism tests (mirror of reference RNG semantics,
+deterministic_rng.rs:6-82 and tests/verify_rng parity strategy)."""
+
+import numpy as np
+
+from candle_video_tpu.utils.rng import Pcg32
+
+
+def _scalar_u32_stream(seed, inc, n):
+    # independent scalar reimplementation straight from the PCG32 spec
+    state = 0
+    incv = ((inc << 1) | 1) & 0xFFFFFFFFFFFFFFFF
+
+    def advance(s):
+        return (s * 6364136223846793005 + incv) & 0xFFFFFFFFFFFFFFFF
+
+    def output(s):
+        xorshifted = (((s >> 18) ^ s) >> 27) & 0xFFFFFFFF
+        rot = (s >> 59) & 31
+        return ((xorshifted >> rot) | (xorshifted << ((-rot) & 31))) & 0xFFFFFFFF
+
+    state = advance(state)
+    state = (state + seed) & 0xFFFFFFFFFFFFFFFF
+    state = advance(state)
+    out = []
+    for _ in range(n):
+        out.append(output(state))
+        state = advance(state)
+    return out
+
+
+def test_u32_stream_matches_spec():
+    rng = Pcg32(42, 54)
+    expected = _scalar_u32_stream(42, 54, 64)
+    got = [rng.next_u32() for _ in range(64)]
+    assert got == expected
+
+
+def test_vectorised_block_matches_scalar():
+    a, b = Pcg32(123, 7), Pcg32(123, 7)
+    block = a._raw_u32_block(1000)
+    scalars = np.array([b.next_u32() for _ in range(1000)], dtype=np.uint32)
+    np.testing.assert_array_equal(block, scalars)
+    # streams stay aligned afterwards
+    assert a.next_u32() == b.next_u32()
+
+
+def test_randn_matches_scalar_box_muller():
+    a, b = Pcg32(0, 0), Pcg32(0, 0)
+    vec = a.randn((37,))
+    scalar = []
+    while len(scalar) < 38:
+        z0, z1 = b.next_gaussian()
+        scalar += [z0, z1]
+    np.testing.assert_allclose(vec, np.array(scalar[:37], np.float32), rtol=0, atol=0)
+
+
+def test_randn_shape_and_stats():
+    x = Pcg32(1234, 0).randn((64, 64))
+    assert x.shape == (64, 64)
+    assert abs(float(x.mean())) < 0.05
+    assert abs(float(x.std()) - 1.0) < 0.05
+
+
+def test_determinism_across_instances():
+    x = Pcg32(42, 54).randn((16, 16))
+    y = Pcg32(42, 54).randn((16, 16))
+    np.testing.assert_array_equal(x, y)
