@@ -1,0 +1,328 @@
+"""LTX-Video 3D DiT transformer — pure-functional JAX, TPU-first.
+
+Architecture parity with the reference transformer (src/models/ltx_video/
+ltx_transformer.rs:941-1173): proj_in → AdaLN-single time embedding →
+caption projection → N transformer blocks (RMSNorm + 6-way AdaLN modulation,
+RoPE'd self-attention, masked cross-attention, tanh-GELU FF) → final
+scale/shift modulation → proj_out.
+
+TPU-first design choices (deliberately not a port):
+- blocks run as a single ``lax.scan`` over stacked block params (one
+  compilation of the block regardless of depth),
+- RoPE (cos, sin) tables are *inputs*, precomputed once per video shape —
+  the reference recomputes them every forward (ltx_transformer.rs:1073),
+- skip-layer logic (STG + permanent skip lists) is one [L, B] mask lerped
+  inside the scan (ltx_transformer.rs:1093-1124 semantics: 1 = skip),
+- linear weights are stored [in, out] so the hot path is plain ``x @ w``
+  on the MXU in BF16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.activations import gelu_tanh, silu
+from ...ops.attention import attention
+from ...ops.embeddings import sinusoidal_timestep_embedding
+from ...ops.norms import layer_norm, rms_norm
+from ...ops.rope import apply_rotary_emb
+
+
+@dataclasses.dataclass(frozen=True)
+class LtxTransformerConfig:
+    """Mirror of LtxVideoTransformer3DModelConfig (ltx_transformer.rs:22-59)."""
+
+    in_channels: int = 128
+    out_channels: int = 128
+    patch_size: int = 1
+    patch_size_t: int = 1
+    num_attention_heads: int = 32
+    attention_head_dim: int = 64
+    cross_attention_dim: int = 2048
+    num_layers: int = 28
+    qk_norm: str = "rms_norm_across_heads"
+    norm_elementwise_affine: bool = False
+    norm_eps: float = 1e-6
+    caption_channels: int = 4096
+    attention_bias: bool = True
+    attention_out_bias: bool = True
+    # RoPE bases (ltx_transformer.rs:976-984)
+    rope_base_num_frames: int = 20
+    rope_base_height: int = 2048
+    rope_base_width: int = 2048
+    rope_theta: float = 10000.0
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (zeros/random; checkpoints overwrite via loader)
+# ---------------------------------------------------------------------------
+
+
+def _linear(key, d_in, d_out, dtype, bias=True, std=0.02):
+    wkey, _ = jax.random.split(key)
+    p = {"weight": (jax.random.normal(wkey, (d_in, d_out)) * std).astype(dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_params(key, cfg: LtxTransformerConfig, dtype=jnp.bfloat16):
+    """Random-init parameter pytree (testing / shape contract)."""
+    d = cfg.inner_dim
+    keys = iter(jax.random.split(key, 16 * cfg.num_layers + 16))
+
+    def lin(d_in, d_out, bias=True):
+        return _linear(next(keys), d_in, d_out, dtype, bias)
+
+    def attn_params(kv_dim):
+        return {
+            "norm_q": {"weight": jnp.ones((d,), dtype)},
+            "norm_k": {"weight": jnp.ones((d,), dtype)},
+            "to_q": lin(d, d, cfg.attention_bias),
+            "to_k": lin(kv_dim, d, cfg.attention_bias),
+            "to_v": lin(kv_dim, d, cfg.attention_bias),
+            "to_out": lin(d, d, cfg.attention_out_bias),
+        }
+
+    def block_params():
+        return {
+            "attn1": attn_params(d),
+            "attn2": attn_params(d),
+            "ff": {"net_0_proj": lin(d, 4 * d), "net_2": lin(4 * d, d)},
+            "scale_shift_table": (
+                jax.random.normal(next(keys), (6, d)) / math.sqrt(d)
+            ).astype(dtype),
+        }
+
+    blocks = [block_params() for _ in range(cfg.num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    return {
+        "proj_in": lin(cfg.in_channels, d),
+        "time_embed": {
+            "emb": {
+                "timestep_embedder": {
+                    "linear_1": lin(256, d),
+                    "linear_2": lin(d, d),
+                }
+            },
+            "linear": lin(d, 6 * d),
+        },
+        "caption_projection": {
+            "linear_1": lin(cfg.caption_channels, d),
+            "linear_2": lin(d, d),
+        },
+        "blocks": stacked,
+        "scale_shift_table": (
+            jax.random.normal(next(keys), (2, d)) / math.sqrt(d)
+        ).astype(dtype),
+        "proj_out": lin(d, cfg.out_channels or cfg.in_channels),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _apply_linear(p, x):
+    y = x @ p["weight"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _timestep_embedding(p, timestep, dtype):
+    """AdaLayerNormSingle: sinusoid(256) → MLP → (temb 6D, embedded D).
+
+    The sinusoid runs on the f32 timestep (diffusers semantics; the reference
+    casts the timestep to BF16 first, ltx_transformer.rs:1051 — we keep the
+    diffusers-parity ordering).
+    """
+    proj = sinusoidal_timestep_embedding(timestep, 256).astype(dtype)
+    te = p["emb"]["timestep_embedder"]
+    emb = _apply_linear(te["linear_2"], silu(_apply_linear(te["linear_1"], proj)))
+    temb = _apply_linear(p["linear"], silu(emb))
+    return temb, emb
+
+
+def _ltx_attention(
+    p,
+    cfg: LtxTransformerConfig,
+    hidden,
+    encoder_hidden=None,
+    bias=None,
+    rope=None,
+    attn_impl: str = "auto",
+):
+    """LTXVideoAttnProcessor semantics (ltx_transformer.rs:648-750):
+    QK-RMSNorm (eps 1e-5, affine, across the full inner dim) → RoPE → SDPA.
+    """
+    b, s, _ = hidden.shape
+    enc = hidden if encoder_hidden is None else encoder_hidden
+    k_len = enc.shape[1]
+    h, hd = cfg.num_attention_heads, cfg.attention_head_dim
+
+    q = _apply_linear(p["to_q"], hidden)
+    k = _apply_linear(p["to_k"], enc)
+    v = _apply_linear(p["to_v"], enc)
+
+    q = rms_norm(q, p["norm_q"]["weight"], eps=1e-5)
+    k = rms_norm(k, p["norm_k"]["weight"], eps=1e-5)
+
+    if rope is not None:
+        cos, sin = rope
+        q = apply_rotary_emb(q, cos, sin)
+        k = apply_rotary_emb(k, cos, sin)
+
+    q = q.reshape(b, s, h, hd)
+    k = k.reshape(b, k_len, h, hd)
+    v = v.reshape(b, k_len, h, hd)
+
+    scale = 1.0 / math.sqrt(hd)
+    out = attention(q, k, v, scale, bias=bias, impl=attn_impl)
+    out = out.reshape(b, s, h * hd)
+    return _apply_linear(p["to_out"], out)
+
+
+def _block(
+    p,
+    cfg: LtxTransformerConfig,
+    hidden,
+    encoder_hidden,
+    temb6,
+    rope,
+    enc_bias,
+    skip_row,
+    attn_impl: str,
+):
+    """One LtxVideoTransformerBlock (ltx_transformer.rs:820-937)."""
+    b = hidden.shape[0]
+    d = cfg.inner_dim
+    orig = hidden
+
+    ada = p["scale_shift_table"][None] + temb6.reshape(b, 6, d)  # [B,6,D]
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+        ada[:, i, None, :] for i in range(6)
+    ]
+
+    norm_hidden = rms_norm(hidden, eps=cfg.norm_eps)
+    norm_hidden = norm_hidden * (1.0 + scale_msa) + shift_msa
+    attn1 = _ltx_attention(
+        p["attn1"], cfg, norm_hidden, rope=rope, attn_impl=attn_impl
+    )
+    hidden = hidden + attn1 * gate_msa
+
+    # cross-attention: no pre-norm, no RoPE, no gate
+    attn2 = _ltx_attention(
+        p["attn2"],
+        cfg,
+        hidden,
+        encoder_hidden=encoder_hidden,
+        bias=enc_bias,
+        attn_impl=attn_impl,
+    )
+    hidden = hidden + attn2
+
+    norm2 = rms_norm(hidden, eps=cfg.norm_eps)
+    norm2 = norm2 * (1.0 + scale_mlp) + shift_mlp
+    ff = _apply_linear(
+        p["ff"]["net_2"], gelu_tanh(_apply_linear(p["ff"]["net_0_proj"], norm2))
+    )
+    hidden = hidden + ff * gate_mlp
+
+    if skip_row is not None:
+        # 1 = skip (restore pre-block state), 0 = keep
+        m = skip_row.reshape(b, 1, 1).astype(hidden.dtype)
+        hidden = hidden * (1.0 - m) + orig * m
+    return hidden
+
+
+def forward(
+    params,
+    cfg: LtxTransformerConfig,
+    hidden_states,  # [B, S, in_channels]
+    encoder_hidden_states,  # [B, K, caption_channels]
+    timestep,  # [B] f32, 0..num_train_timesteps scale
+    rope_cos,  # [B or 1, S, inner_dim] f32 (precomputed)
+    rope_sin,
+    encoder_attention_mask=None,  # [B, K] 1=keep/0=pad, or None
+    skip_layer_mask=None,  # [L, B] f32, 1=skip, or None
+    attn_impl: str = "auto",
+):
+    """Full DiT forward; returns [B, S, out_channels] in the model dtype."""
+    dtype = params["proj_in"]["weight"].dtype
+    x = _apply_linear(params["proj_in"], hidden_states.astype(dtype))
+    enc = _apply_linear(
+        params["caption_projection"]["linear_2"],
+        gelu_tanh(
+            _apply_linear(
+                params["caption_projection"]["linear_1"],
+                encoder_hidden_states.astype(dtype),
+            )
+        ),
+    )
+
+    temb6, embedded_timestep = _timestep_embedding(
+        params["time_embed"], timestep.reshape(-1).astype(jnp.float32), dtype
+    )
+
+    enc_bias = None
+    if encoder_attention_mask is not None:
+        mask = encoder_attention_mask.astype(jnp.float32)
+        enc_bias = ((1.0 - mask) * -10000.0)[:, None, None, :]  # [B,1,1,K]
+
+    rope = (rope_cos, rope_sin)
+
+    n_layers = cfg.num_layers
+    if skip_layer_mask is None:
+        skip_stack = None
+    else:
+        skip_stack = skip_layer_mask.astype(jnp.float32)
+
+    def scan_body(carry, xs):
+        if skip_stack is None:
+            block_p = xs
+            skip_row = None
+        else:
+            block_p, skip_row = xs
+        out = _block(
+            block_p, cfg, carry, enc, temb6, rope, enc_bias, skip_row, attn_impl
+        )
+        return out, None
+
+    xs = params["blocks"] if skip_stack is None else (params["blocks"], skip_stack)
+    x, _ = jax.lax.scan(scan_body, x, xs, length=n_layers)
+
+    # final modulation (ltx_transformer.rs:1126-1161)
+    d = cfg.inner_dim
+    table = params["scale_shift_table"].astype(embedded_timestep.dtype)
+    scale_shift = table[None] + embedded_timestep[:, None, :]  # [B,2,D]
+    shift, scale = scale_shift[:, 0, None, :], scale_shift[:, 1, None, :]
+
+    x = layer_norm(x, eps=1e-6)
+    x = x * (1.0 + scale) + shift
+    return _apply_linear(params["proj_out"], x)
+
+
+def build_skip_layer_mask(
+    num_layers: int,
+    batch: int,
+    skip_blocks,
+) -> np.ndarray:
+    """[L, B] STG perturbation mask: 1 = skip (t2v_pipeline.rs:910-923)."""
+    mask = np.zeros((num_layers, batch), dtype=np.float32)
+    for idx in skip_blocks or ():
+        if 0 <= idx < num_layers:
+            mask[idx, :] = 1.0
+    return mask

@@ -1,0 +1,186 @@
+"""DiT transformer parity vs the independent torch mirror.
+
+Mirrors the reference's verify_dit_parity strategy (tests/
+verify_dit_parity.rs: tiny randomly-init model, max-abs < 2e-3) with the
+torch mirror in scripts/torch_ltx.py standing in for diffusers.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+import torch_ltx  # noqa: E402
+
+from candle_video_tpu.models.ltx_video import transformer as T  # noqa: E402
+from candle_video_tpu.models.ltx_video.loader import (  # noqa: E402
+    torch_state_dict_to_numpy,
+    transformer_params_from_state_dict,
+)
+from candle_video_tpu.ops.rope import normalize_video_coords, rope_cos_sin  # noqa: E402
+
+
+TINY = dict(
+    in_channels=8,
+    out_channels=8,
+    heads=2,
+    dim_head=12,  # inner 24, 24 % 6 == 0
+    cross_attention_dim=24,
+    num_layers=2,
+    caption_channels=16,
+)
+
+
+def tiny_cfg(num_layers=2):
+    return T.LtxTransformerConfig(
+        in_channels=8,
+        out_channels=8,
+        num_attention_heads=2,
+        attention_head_dim=12,
+        cross_attention_dim=24,
+        num_layers=num_layers,
+        caption_channels=16,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    torch.manual_seed(0)
+    tm = torch_ltx.LtxTransformer3D(**TINY).eval()
+    cfg = tiny_cfg()
+    sd = torch_state_dict_to_numpy(tm.state_dict())
+    params = transformer_params_from_state_dict(sd, cfg, dtype=jnp.float32)
+    return tm, cfg, params
+
+
+def _inputs(batch=2, f=2, h=3, w=4, k=5, seed=0):
+    rng = np.random.default_rng(seed)
+    s = f * h * w
+    hidden = rng.normal(size=(batch, s, 8)).astype(np.float32)
+    enc = rng.normal(size=(batch, k, 16)).astype(np.float32)
+    t = np.array([500.0] * batch, np.float32)
+    mask = np.ones((batch, k), np.float32)
+    mask[:, -1] = 0.0
+    from candle_video_tpu.ops.rope import video_coords_grid
+
+    coords = np.broadcast_to(video_coords_grid(f, h, w)[None], (batch, s, 3)).copy()
+    return hidden, enc, t, mask, coords
+
+
+def _jax_forward(params, cfg, hidden, enc, t, mask, coords, skip=None):
+    grid = normalize_video_coords(
+        jnp.asarray(coords), cfg.rope_base_num_frames, cfg.rope_base_height,
+        cfg.rope_base_width,
+    )
+    cos, sin = rope_cos_sin(grid, cfg.inner_dim, cfg.rope_theta)
+    return np.asarray(
+        T.forward(
+            params,
+            cfg,
+            jnp.asarray(hidden),
+            jnp.asarray(enc),
+            jnp.asarray(t),
+            cos,
+            sin,
+            encoder_attention_mask=jnp.asarray(mask),
+            skip_layer_mask=None if skip is None else jnp.asarray(skip),
+            attn_impl="xla",
+        )
+    )
+
+
+def test_forward_parity_f32(tiny_models):
+    tm, cfg, params = tiny_models
+    hidden, enc, t, mask, coords = _inputs()
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(hidden),
+            torch.from_numpy(enc),
+            torch.from_numpy(t),
+            torch.from_numpy(coords),
+            torch.from_numpy(mask),
+        ).numpy()
+    got = _jax_forward(params, cfg, hidden, enc, t, mask, coords)
+    assert got.shape == ref.shape == (2, 24, 8)
+    assert np.abs(got - ref).max() < 2e-3  # reference dit parity envelope
+    assert np.mean((got - ref) ** 2) < 1e-4
+
+
+def test_forward_parity_no_mask(tiny_models):
+    tm, cfg, params = tiny_models
+    hidden, enc, t, _, coords = _inputs(seed=3)
+    full = np.ones((2, 5), np.float32)
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(hidden), torch.from_numpy(enc),
+            torch.from_numpy(t), torch.from_numpy(coords),
+        ).numpy()
+    got = _jax_forward(params, cfg, hidden, enc, t, full, coords)
+    assert np.abs(got - ref).max() < 2e-3
+
+
+def test_skip_layer_mask_parity(tiny_models):
+    tm, cfg, params = tiny_models
+    hidden, enc, t, mask, coords = _inputs(seed=7)
+    skip = np.array([[1.0, 0.0], [0.0, 0.0]], np.float32)  # skip layer0/batch0
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(hidden), torch.from_numpy(enc),
+            torch.from_numpy(t), torch.from_numpy(coords),
+            torch.from_numpy(mask), torch.from_numpy(skip),
+        ).numpy()
+    got = _jax_forward(params, cfg, hidden, enc, t, mask, coords, skip=skip)
+    assert np.abs(got - ref).max() < 2e-3
+
+
+def test_skip_all_layers_is_modulated_identity(tiny_models):
+    """With every layer skipped, only the outer proj/modulation applies —
+    and per-batch masks differ from the unskipped batch element."""
+    tm, cfg, params = tiny_models
+    hidden, enc, t, mask, coords = _inputs(seed=9)
+    skip_b0 = np.array([[1.0, 0.0], [1.0, 0.0]], np.float32)
+    got = _jax_forward(params, cfg, hidden, enc, t, mask, coords, skip=skip_b0)
+    got_noskip = _jax_forward(params, cfg, hidden, enc, t, mask, coords)
+    # batch 1 unaffected by the mask
+    np.testing.assert_allclose(got[1], got_noskip[1], atol=1e-5)
+    # batch 0 differs (blocks were skipped)
+    assert np.abs(got[0] - got_noskip[0]).max() > 1e-4
+
+
+def test_build_skip_layer_mask():
+    m = T.build_skip_layer_mask(4, 2, [1, 3])
+    assert m.shape == (4, 2)
+    np.testing.assert_array_equal(m[:, 0], [0, 1, 0, 1])
+
+
+def test_bf16_forward_close_to_f32(tiny_models):
+    tm, cfg, params = tiny_models
+    hidden, enc, t, mask, coords = _inputs(seed=11)
+    params_bf16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+    f32 = _jax_forward(params, cfg, hidden, enc, t, mask, coords)
+    b16 = _jax_forward(params_bf16, cfg, hidden, enc, t, mask, coords)
+    assert np.mean((f32 - b16.astype(np.float32)) ** 2) < 5e-3
+
+
+def test_jit_and_shapes(tiny_models):
+    _, cfg, params = tiny_models
+    hidden, enc, t, mask, coords = _inputs(seed=13)
+    grid = normalize_video_coords(jnp.asarray(coords), 20, 2048, 2048)
+    cos, sin = rope_cos_sin(grid, cfg.inner_dim)
+
+    import functools
+
+    fwd = jax.jit(
+        functools.partial(T.forward, attn_impl="xla"), static_argnames=("cfg",)
+    )
+    out = fwd(params, cfg, jnp.asarray(hidden), jnp.asarray(enc), jnp.asarray(t),
+              cos, sin)
+    assert out.shape == (2, 24, 8)
