@@ -161,3 +161,146 @@ def transformer_params_from_state_dict(
 def torch_state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
     """Convenience for tests: torch module.state_dict() → numpy dict."""
     return {k: v.detach().cpu().numpy() for k, v in state_dict.items()}
+
+
+# ---------------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------------
+
+
+def _conv3d(sd, prefix, dtype, required=True):
+    """CausalConv3d params; torch [O,I,kt,kh,kw] layout kept as-is."""
+    wkey = f"{prefix}.conv.weight"
+    if wkey not in sd:
+        if required:
+            raise LoaderError(f"missing tensor {wkey}")
+        return None
+    p = {"weight": jnp.asarray(sd[wkey], dtype)}
+    bkey = f"{prefix}.conv.bias"
+    if bkey in sd:
+        p["bias"] = jnp.asarray(sd[bkey], dtype)
+    return p
+
+
+def _time_embedder_params(sd, prefix, dtype):
+    l1 = _lin(sd, f"{prefix}.timestep_embedder.linear_1", dtype, required=False)
+    if l1 is None:
+        return None
+    return {
+        "linear_1": l1,
+        "linear_2": _lin(sd, f"{prefix}.timestep_embedder.linear_2", dtype),
+    }
+
+
+def _resnet_params(sd, prefix, dtype):
+    p = {
+        "conv1": _conv3d(sd, f"{prefix}.conv1", dtype),
+        "conv2": _conv3d(sd, f"{prefix}.conv2", dtype),
+    }
+    cs = _conv3d(sd, f"{prefix}.conv_shortcut", dtype, required=False)
+    if cs is not None:
+        p["conv_shortcut"] = cs
+        norm3 = {}
+        if f"{prefix}.norm3.weight" in sd:
+            norm3["weight"] = _vec(sd, f"{prefix}.norm3.weight", dtype)
+        if f"{prefix}.norm3.bias" in sd:
+            norm3["bias"] = _vec(sd, f"{prefix}.norm3.bias", dtype)
+        if norm3:
+            p["norm3"] = norm3
+    if f"{prefix}.scale_shift_table" in sd:
+        p["scale_shift_table"] = _vec(sd, f"{prefix}.scale_shift_table", dtype)
+    for name in ("per_channel_scale1", "per_channel_scale2"):
+        for key in (f"{prefix}.{name}", f"{prefix}.{name}.weight"):
+            if key in sd:
+                p[name] = jnp.asarray(sd[key], dtype)
+                break
+    return p
+
+
+def _count_resnets(sd: Dict[str, np.ndarray], prefix: str) -> int:
+    n = 0
+    while f"{prefix}.resnets.{n}.conv1.conv.weight" in sd:
+        n += 1
+    return n
+
+
+def vae_params_from_state_dict(sd: Dict[str, np.ndarray], dtype=jnp.bfloat16):
+    """Diffusers-layout LTX VAE state dict → pytree.
+
+    Structure (block/resnet counts) is discovered from the keys so the same
+    loader covers 0.9.5–0.9.8 checkpoints.
+    """
+
+    def block_list(section, kind):
+        blocks = []
+        i = 0
+        while True:
+            pre = f"{section}.{kind}.{i}"
+            if f"{pre}.resnets.0.conv1.conv.weight" not in sd and (
+                f"{pre}.upsamplers.0.conv.conv.weight" not in sd
+                and f"{pre}.downsamplers.0.conv.conv.weight" not in sd
+            ):
+                break
+            blk: dict = {
+                "resnets": [
+                    _resnet_params(sd, f"{pre}.resnets.{j}", dtype)
+                    for j in range(_count_resnets(sd, pre))
+                ]
+            }
+            ds = _conv3d(sd, f"{pre}.downsamplers.0.conv", dtype, required=False)
+            if ds is not None:
+                blk["downsamplers"] = [{"conv": ds}]
+            us = _conv3d(sd, f"{pre}.upsamplers.0.conv", dtype, required=False)
+            if us is not None:
+                blk["upsamplers"] = [{"conv": us}]
+            te = _time_embedder_params(sd, f"{pre}.time_embedder", dtype)
+            if te is not None:
+                blk["time_embedder"] = te
+            blocks.append(blk)
+            i += 1
+        return blocks
+
+    def mid(section):
+        pre = f"{section}.mid_block"
+        blk = {
+            "resnets": [
+                _resnet_params(sd, f"{pre}.resnets.{j}", dtype)
+                for j in range(_count_resnets(sd, pre))
+            ]
+        }
+        te = _time_embedder_params(sd, f"{pre}.time_embedder", dtype)
+        if te is not None:
+            blk["time_embedder"] = te
+        return blk
+
+    encoder = {
+        "conv_in": _conv3d(sd, "encoder.conv_in", dtype),
+        "down_blocks": block_list("encoder", "down_blocks"),
+        "mid_block": mid("encoder"),
+        "conv_out": _conv3d(sd, "encoder.conv_out", dtype),
+    }
+    if "encoder.norm_out.weight" in sd:
+        encoder["norm_out"] = {"weight": _vec(sd, "encoder.norm_out.weight", dtype)}
+
+    decoder = {
+        "conv_in": _conv3d(sd, "decoder.conv_in", dtype),
+        "mid_block": mid("decoder"),
+        "up_blocks": block_list("decoder", "up_blocks"),
+        "conv_out": _conv3d(sd, "decoder.conv_out", dtype),
+    }
+    te = _time_embedder_params(sd, "decoder.time_embedder", dtype)
+    if te is not None:
+        decoder["time_embedder"] = te
+    if "decoder.scale_shift_table" in sd:
+        decoder["scale_shift_table"] = _vec(sd, "decoder.scale_shift_table", dtype)
+    if "decoder.timestep_scale_multiplier" in sd:
+        decoder["timestep_scale_multiplier"] = jnp.asarray(
+            sd["decoder.timestep_scale_multiplier"], jnp.float32
+        )
+
+    params = {"encoder": encoder, "decoder": decoder}
+    # latents stats live inside the VAE file (vae.rs:1827-1838)
+    for name in ("latents_mean", "latents_std"):
+        if name in sd:
+            params[name] = jnp.asarray(sd[name], jnp.float32)
+    return params

@@ -1,0 +1,636 @@
+"""LTX-Video 3D causal VAE — functional JAX, TPU-first.
+
+Parity target: AutoencoderKLLtxVideo (src/models/ltx_video/vae.rs:30-2463):
+pixel-unshuffle downsamplers with grouped-mean residuals, depth-to-space
+upsamplers with channel-repeat residuals and causal frame crops,
+timestep-conditioned resnets (per-block [4,C] scale_shift tables), patchify
+p=4, encoder logvar-replication trick, decoder-level global modulation, and
+spatial/temporal tiling with linear-ramp blending.
+
+TPU-first: CausalConv3d is one ``lax.conv_general_dilated`` (the reference
+loops Conv2d slices over time, vae.rs:438-454); blends are vectorized lerps;
+tile decodes are jitted once per tile shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.activations import silu
+from ...ops.conv3d import causal_conv3d
+from ...ops.embeddings import sinusoidal_timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class LtxVaeConfig:
+    """Mirror of AutoencoderKLLtxVideoConfig (vae.rs:30-103)."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 128
+    block_out_channels: tuple = (128, 256, 512, 1024, 2048)
+    decoder_block_out_channels: tuple = (256, 512, 1024)
+    spatiotemporal_scaling: tuple = (True, True, True, True)
+    decoder_spatiotemporal_scaling: tuple = (True, True, True)
+    layers_per_block: tuple = (4, 6, 6, 2, 2)
+    decoder_layers_per_block: tuple = (5, 5, 5, 5)
+    patch_size: int = 4
+    patch_size_t: int = 1
+    resnet_eps: float = 1e-6
+    scaling_factor: float = 1.0
+    spatial_compression_ratio: int = 32
+    temporal_compression_ratio: int = 8
+    decoder_inject_noise: tuple = (False, False, False, False)
+    decoder_upsample_residual: tuple = (True, True, True)
+    decoder_upsample_factor: tuple = (2, 2, 2)
+    timestep_conditioning: bool = True
+    downsample_types: tuple = ("spatial", "temporal", "spatiotemporal", "spatiotemporal")
+    is_causal: bool = True
+    decoder_causal: bool = False
+
+
+_DOWNSAMPLE_STRIDES = {
+    "conv": (2, 2, 2),
+    "spatial": (1, 2, 2),
+    "temporal": (2, 1, 1),
+    "spatiotemporal": (2, 2, 2),
+}
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm_cf(x, eps: float = 1e-8, weight=None):
+    """RMSNorm over the channel axis of [B,C,T,H,W] (channels-first),
+    f32 internals (vae.rs:148-153 permute → rmsnorm → permute, fused here)."""
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+    y = (xf / jnp.sqrt(ms + jnp.float32(eps))).astype(x.dtype)
+    if weight is not None:
+        y = y * weight.astype(x.dtype)[None, :, None, None, None]
+    return y
+
+
+def _layer_norm_cf(x, eps: float, weight=None, bias=None):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    y = (xc / jnp.sqrt(var + jnp.float32(eps))).astype(x.dtype)
+    if weight is not None:
+        y = y * weight.astype(x.dtype)[None, :, None, None, None]
+    if bias is not None:
+        y = y + bias.astype(x.dtype)[None, :, None, None, None]
+    return y
+
+
+def _conv(p, x, stride=(1, 1, 1), causal=True):
+    return causal_conv3d(
+        x, p["weight"], p.get("bias"), stride=stride, causal=causal
+    )
+
+
+def _time_embedder(p, temb, dtype):
+    """CombinedTimestepEmbedder: sinusoid(256) → MLP (vae.rs:200-265)."""
+    proj = sinusoidal_timestep_embedding(temb, 256).astype(dtype)
+    h = proj @ p["linear_1"]["weight"] + p["linear_1"]["bias"]
+    h = silu(h)
+    return h @ p["linear_2"]["weight"] + p["linear_2"]["bias"]
+
+
+def _resnet_block(p, cfg, x, temb5=None, causal=True, noise_key=None):
+    """LtxVideoResnetBlock3d (vae.rs:584-822).
+
+    ``temb5``: [B, 4C, 1, 1, 1] block-projected timestep embedding or None.
+    """
+    h = x
+    h = _rms_norm_cf(h, 1e-8)
+
+    if p.get("scale_shift_table") is not None and temb5 is not None:
+        tbl = p["scale_shift_table"]  # [4, C]
+        b = temb5.shape[0]
+        c = tbl.shape[1]
+        t = temb5.reshape(b, 4, c, 1, 1, 1) + tbl[None, :, :, None, None, None]
+        shift1, scale1, shift2, scale2 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
+    else:
+        shift1 = scale1 = shift2 = scale2 = None
+
+    if shift1 is not None:
+        h = h * (1.0 + scale1.astype(h.dtype)) + shift1.astype(h.dtype)
+    h = silu(h)
+    h = _conv(p["conv1"], h, causal=causal)
+
+    if p.get("per_channel_scale1") is not None and noise_key is not None:
+        # spatial (H, W) noise scaled per channel (vae.rs:741-753)
+        noise_key, sub = jax.random.split(noise_key)
+        noise = jax.random.normal(sub, h.shape[-2:], h.dtype)[None, None, None]
+        h = h + noise * p["per_channel_scale1"].astype(h.dtype).reshape(1, -1, 1, 1, 1)
+
+    h = _rms_norm_cf(h, 1e-8)
+    if shift2 is not None:
+        h = h * (1.0 + scale2.astype(h.dtype)) + shift2.astype(h.dtype)
+    h = silu(h)
+    h = _conv(p["conv2"], h, causal=causal)
+
+    if p.get("per_channel_scale2") is not None and noise_key is not None:
+        noise_key, sub = jax.random.split(noise_key)
+        sp = h.shape[-2:]
+        noise = jax.random.normal(sub, sp, h.dtype)[None, None, None]
+        h = h + noise * p["per_channel_scale2"].astype(h.dtype).reshape(1, -1, 1, 1, 1)
+
+    shortcut = x
+    if p.get("norm3") is not None:
+        shortcut = _layer_norm_cf(
+            shortcut, cfg.resnet_eps, p["norm3"].get("weight"), p["norm3"].get("bias")
+        )
+    elif p.get("conv_shortcut") is not None:
+        # affine-less norm3 still applies whenever the shortcut changes width
+        shortcut = _layer_norm_cf(shortcut, cfg.resnet_eps)
+    if p.get("conv_shortcut") is not None:
+        shortcut = _conv(p["conv_shortcut"], shortcut, causal=causal)
+    return h + shortcut
+
+
+def _pixel_unshuffle_downsample(p, x, stride, out_channels: int, causal=True):
+    """LtxVideoDownsampler3d (vae.rs:497-582): pixel-unshuffle conv path +
+    grouped-mean residual."""
+    st, sh, sw = stride
+    b, c, t, hgt, wid = x.shape
+    group_size = c * st * sh * sw // out_channels
+
+    if st > 1:
+        x = jnp.concatenate([x[:, :, : st - 1], x], axis=2)
+    t_pad = x.shape[2]
+    t_new, h_new, w_new = t_pad // st, hgt // sh, wid // sw
+
+    def unshuffle(y):
+        cy = y.shape[1]
+        y = y.reshape(b, cy, t_new, st, h_new, sh, w_new, sw)
+        y = y.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+        return y.reshape(b, cy * st * sh * sw, t_new, h_new, w_new)
+
+    residual = unshuffle(x)
+    residual = residual.reshape(
+        b, c * st * sh * sw // group_size, group_size, t_new, h_new, w_new
+    ).mean(axis=2)
+
+    hidden = _conv(p["conv"], x, causal=causal)
+    hidden = unshuffle(hidden)
+    return hidden + residual
+
+
+def _depth_to_space(y, st, sh, sw):
+    """reference upsampler shuffle (vae.rs:1106-1158)."""
+    b, c, t, hgt, wid = y.shape
+    c_out = c // (st * sh * sw)
+    y = y.reshape(b, c_out, st, sh, sw, t, hgt, wid)
+    y = y.transpose(0, 1, 5, 2, 6, 3, 7, 4)  # [B,C',T,st,H,sh,W,sw]
+    return y.reshape(b, c_out, t * st, hgt * sh, wid * sw)
+
+
+def _upsampler(p, x, stride, residual: bool, channel_repeats: int, causal=True):
+    """LtxVideoUpsampler3d (vae.rs:1037-1170)."""
+    st, sh, sw = stride
+    res = None
+    if residual:
+        res = _depth_to_space(x, st, sh, sw)
+        if channel_repeats > 1:
+            res = jnp.tile(res, (1, channel_repeats, 1, 1, 1))
+        res = res[:, :, st - 1 :]
+
+    h = _conv(p["conv"], x, causal=causal)
+    h = _depth_to_space(h, st, sh, sw)
+    h = h[:, :, st - 1 :]
+    if res is not None:
+        h = h + res
+    return h
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder
+# ---------------------------------------------------------------------------
+
+
+def _patchify(x, p: int, pt: int):
+    """(B,C,F,H,W) -> (B, C*pt*p*p, F/pt, H/p, W/p), reference channel order
+    [c, pt, p_w, p_h] (vae.rs:1426-1444)."""
+    b, c, f, h, w = x.shape
+    x = x.reshape(b, c, f // pt, pt, h // p, p, w // p, p)
+    x = x.transpose(0, 1, 3, 7, 5, 2, 4, 6)
+    return x.reshape(b, c * pt * p * p, f // pt, h // p, w // p)
+
+
+def _unpatchify(x, p: int, pt: int):
+    """inverse (vae.rs:1626-1654)."""
+    b, c, f, h, w = x.shape
+    out_c = c // (pt * p * p)
+    x = x.reshape(b, out_c, pt, p, p, f, h, w)
+    x = x.transpose(0, 1, 5, 2, 6, 4, 7, 3)  # [B,C,F,pt,H,p,W,p]
+    return x.reshape(b, out_c, f * pt, h * p, w * p)
+
+
+def encoder_forward(params, cfg: LtxVaeConfig, x):
+    """LtxVideoEncoder3d (vae.rs:1316-1468). x [B,3,F,H,W] -> moments
+    [B, 2*latent, F', H', W'] with the logvar-replication trick."""
+    causal = cfg.is_causal
+    h = _patchify(x, cfg.patch_size, cfg.patch_size_t)
+    h = _conv(params["conv_in"], h, causal=causal)
+
+    for i, bp in enumerate(params["down_blocks"]):
+        for rp in bp["resnets"]:
+            h = _resnet_block(rp, cfg, h, causal=causal)
+        if bp.get("downsamplers"):
+            stride = _DOWNSAMPLE_STRIDES[cfg.downsample_types[i].lower()]
+            h = _pixel_unshuffle_downsample(
+                bp["downsamplers"][0],
+                h,
+                stride,
+                cfg.block_out_channels[i + 1],
+                causal=causal,
+            )
+
+    for rp in params["mid_block"]["resnets"]:
+        h = _resnet_block(rp, cfg, h, causal=causal)
+
+    h = _rms_norm_cf(h, 1e-8, params.get("norm_out", {}).get("weight") if params.get("norm_out") else None)
+    h = silu(h)
+    h = _conv(params["conv_out"], h, causal=causal)
+
+    # last-channel replication: conv_out emits latent+1 channels; the final
+    # channel is the uniform logvar, replicated to full width (vae.rs:1463-1467)
+    ch = h.shape[1]
+    last = h[:, ch - 1 : ch]
+    rep = jnp.tile(last, (1, ch - 2, 1, 1, 1))
+    return jnp.concatenate([h, rep], axis=1)
+
+
+def decoder_forward(params, cfg: LtxVaeConfig, z, temb=None, noise_key=None):
+    """LtxVideoDecoder3d (vae.rs:1488-1727). z [B,latent,F,H,W] -> video
+    [B,3,F*8,H*32,W*32] in [-1,1]; ``temb`` [B] decode timesteps or None."""
+    causal = cfg.decoder_causal
+    dtype = params["conv_in"]["weight"].dtype
+    z = z.astype(dtype)
+
+    h = _conv(params["conv_in"], z, causal=causal)
+
+    temb_scaled = None
+    if temb is not None:
+        temb_scaled = temb.reshape(-1).astype(jnp.float32)
+        if params.get("timestep_scale_multiplier") is not None:
+            temb_scaled = temb_scaled * params["timestep_scale_multiplier"].astype(
+                jnp.float32
+            )
+
+    def block_temb(block_params, width):
+        if temb_scaled is None or block_params.get("time_embedder") is None:
+            return None
+        e = _time_embedder(block_params["time_embedder"], temb_scaled, dtype)
+        return e.reshape(e.shape[0], width * 4, 1, 1, 1)
+
+    mid = params["mid_block"]
+    mt = block_temb(mid, h.shape[1])
+    for rp in mid["resnets"]:
+        h = _resnet_block(rp, cfg, h, mt, causal=causal, noise_key=noise_key)
+
+    boc = list(cfg.decoder_block_out_channels)[::-1]
+    sts = list(cfg.decoder_spatiotemporal_scaling)[::-1]
+    upr = list(cfg.decoder_upsample_residual)[::-1]
+    upf = list(cfg.decoder_upsample_factor)[::-1]
+
+    for i, bp in enumerate(params["up_blocks"]):
+        out_ch = boc[i] // upf[i]
+        ut = block_temb(bp, out_ch)
+        stride = (2, 2, 2) if sts[i] else (1, 2, 2)
+        in_ch = out_ch * upf[i]
+        channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
+        h = _upsampler(
+            bp["upsamplers"][0], h, stride, upr[i], channel_repeats, causal=causal
+        )
+        for rp in bp["resnets"]:
+            h = _resnet_block(rp, cfg, h, ut, causal=causal, noise_key=noise_key)
+
+    h = _rms_norm_cf(h, 1e-8)
+
+    if (
+        temb_scaled is not None
+        and params.get("time_embedder") is not None
+        and params.get("scale_shift_table") is not None
+    ):
+        e = _time_embedder(params["time_embedder"], temb_scaled, dtype)  # [B, 2C]
+        c = params["scale_shift_table"].shape[1]
+        e = e.reshape(-1, 2, c) + params["scale_shift_table"][None].astype(dtype)
+        shift = e[:, 0][:, :, None, None, None]
+        scale = e[:, 1][:, :, None, None, None]
+        h = h * (1.0 + scale) + shift
+
+    h = silu(h)
+    h = _conv(params["conv_out"], h, causal=causal)
+    return _unpatchify(h, cfg.patch_size, cfg.patch_size_t)
+
+
+# ---------------------------------------------------------------------------
+# distribution + facade
+# ---------------------------------------------------------------------------
+
+
+def gaussian_split(moments):
+    """moments [B, 2C, ...] -> (mean, logvar) (vae.rs:115-146)."""
+    c = moments.shape[1] // 2
+    return moments[:, :c], moments[:, c:]
+
+
+def gaussian_sample(moments, key):
+    mean, logvar = gaussian_split(moments)
+    eps = jax.random.normal(key, mean.shape, mean.dtype)
+    return mean + jnp.exp(0.5 * logvar) * eps
+
+
+def normalize_latents(latents, mean, std, scaling_factor: float = 1.0):
+    """(x - mean) * scaling / std per channel (t2v_pipeline.rs:552-571)."""
+    c = latents.shape[1]
+    mean = mean.reshape(1, c, 1, 1, 1).astype(latents.dtype)
+    std = std.reshape(1, c, 1, 1, 1).astype(latents.dtype)
+    return (latents - mean) * scaling_factor / std
+
+
+def denormalize_latents(latents, mean, std, scaling_factor: float = 1.0):
+    c = latents.shape[1]
+    mean = mean.reshape(1, c, 1, 1, 1).astype(latents.dtype)
+    std = std.reshape(1, c, 1, 1, 1).astype(latents.dtype)
+    return latents * std / scaling_factor + mean
+
+
+# ---------------------------------------------------------------------------
+# tiling (vae.rs:1927-2434)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TilingConfig:
+    tile_sample_min_height: int = 512
+    tile_sample_min_width: int = 512
+    tile_sample_min_num_frames: int = 16
+    tile_sample_stride_height: int = 384
+    tile_sample_stride_width: int = 384
+    tile_sample_stride_num_frames: int = 8
+
+
+def blend_h(a, b, blend: int):
+    """b[..., :blend] = a[..., -blend+x]*(1-x/blend) + b[..., x]*(x/blend)."""
+    blend = min(blend, a.shape[4], b.shape[4])
+    if blend == 0:
+        return b
+    w = (jnp.arange(blend, dtype=jnp.float32) / blend).astype(b.dtype)
+    w = w.reshape(1, 1, 1, 1, blend)
+    mixed = a[..., -blend:] * (1.0 - w) + b[..., :blend] * w
+    return jnp.concatenate([mixed, b[..., blend:]], axis=4)
+
+
+def blend_v(a, b, blend: int):
+    blend = min(blend, a.shape[3], b.shape[3])
+    if blend == 0:
+        return b
+    w = (jnp.arange(blend, dtype=jnp.float32) / blend).astype(b.dtype)
+    w = w.reshape(1, 1, 1, blend, 1)
+    mixed = a[..., -blend:, :] * (1.0 - w) + b[..., :blend, :] * w
+    return jnp.concatenate([mixed, b[..., blend:, :]], axis=3)
+
+
+def blend_t(a, b, blend: int):
+    blend = min(blend, a.shape[2], b.shape[2])
+    if blend == 0:
+        return b
+    w = (jnp.arange(blend, dtype=jnp.float32) / blend).astype(b.dtype)
+    w = w.reshape(1, 1, blend, 1, 1)
+    mixed = a[:, :, -blend:] * (1.0 - w) + b[:, :, :blend] * w
+    return jnp.concatenate([mixed, b[:, :, blend:]], axis=2)
+
+
+def tiled_decode(params, cfg: LtxVaeConfig, z, temb, tiling: TilingConfig,
+                 decode_fn=None):
+    """Spatial tiling: loop in latent space, blend in sample space
+    (vae.rs:2225-2290).  Tiles blend against already-blended neighbors."""
+    decode_fn = decode_fn or (lambda zz, tt: decoder_forward(params["decoder"], cfg, zz, tt))
+    _, _, _, height, width = z.shape
+    sc = cfg.spatial_compression_ratio
+    sample_h, sample_w = height * sc, width * sc
+
+    lat_min_h = tiling.tile_sample_min_height // sc
+    lat_min_w = tiling.tile_sample_min_width // sc
+    lat_str_h = tiling.tile_sample_stride_height // sc
+    lat_str_w = tiling.tile_sample_stride_width // sc
+    bh = tiling.tile_sample_min_height - tiling.tile_sample_stride_height
+    bw = tiling.tile_sample_min_width - tiling.tile_sample_stride_width
+
+    rows = []
+    for i in range(0, height, lat_str_h):
+        row = []
+        for j in range(0, width, lat_str_w):
+            tile = z[:, :, :, i : min(i + lat_min_h, height), j : min(j + lat_min_w, width)]
+            row.append(decode_fn(tile, temb))
+        rows.append(row)
+
+    prev_row_blended: list = []
+    result_rows = []
+    for ri, row in enumerate(rows):
+        result_row = []
+        curr_row_blended: list = []
+        for cj, tile in enumerate(row):
+            if ri > 0:
+                tile = blend_v(prev_row_blended[cj], tile, bh)
+            if cj > 0:
+                tile = blend_h(curr_row_blended[cj - 1], tile, bw)
+            curr_row_blended.append(tile)
+            hs = min(tiling.tile_sample_stride_height, tile.shape[3])
+            ws = min(tiling.tile_sample_stride_width, tile.shape[4])
+            result_row.append(tile[:, :, :, :hs, :ws])
+        result_rows.append(jnp.concatenate(result_row, axis=4))
+        prev_row_blended = curr_row_blended
+
+    dec = jnp.concatenate(result_rows, axis=3)
+    return dec[:, :, :, :sample_h, :sample_w]
+
+
+def tiled_encode(params, cfg: LtxVaeConfig, x, tiling: TilingConfig,
+                 encode_fn=None):
+    """Spatial tiling for encode: loop in sample space, blend in latent space
+    (vae.rs:2158-2223)."""
+    encode_fn = encode_fn or (lambda xx: encoder_forward(params["encoder"], cfg, xx))
+    _, _, _, height, width = x.shape
+    sc = cfg.spatial_compression_ratio
+    lat_h, lat_w = height // sc, width // sc
+
+    lat_min_h = tiling.tile_sample_min_height // sc
+    lat_min_w = tiling.tile_sample_min_width // sc
+    lat_str_h = tiling.tile_sample_stride_height // sc
+    lat_str_w = tiling.tile_sample_stride_width // sc
+    bh = lat_min_h - lat_str_h
+    bw = lat_min_w - lat_str_w
+
+    rows = []
+    for i in range(0, height, tiling.tile_sample_stride_height):
+        row = []
+        for j in range(0, width, tiling.tile_sample_stride_width):
+            tile = x[
+                :, :, :,
+                i : min(i + tiling.tile_sample_min_height, height),
+                j : min(j + tiling.tile_sample_min_width, width),
+            ]
+            row.append(encode_fn(tile))
+        rows.append(row)
+
+    prev_row_blended: list = []
+    result_rows = []
+    for ri, row in enumerate(rows):
+        result_row = []
+        curr_row_blended: list = []
+        for cj, tile in enumerate(row):
+            if ri > 0:
+                tile = blend_v(prev_row_blended[cj], tile, bh)
+            if cj > 0:
+                tile = blend_h(curr_row_blended[cj - 1], tile, bw)
+            curr_row_blended.append(tile)
+            hs = min(lat_str_h, tile.shape[3])
+            ws = min(lat_str_w, tile.shape[4])
+            result_row.append(tile[:, :, :, :hs, :ws])
+        result_rows.append(jnp.concatenate(result_row, axis=4))
+        prev_row_blended = curr_row_blended
+
+    enc = jnp.concatenate(result_rows, axis=3)
+    return enc[:, :, :, :lat_h, :lat_w]
+
+
+def temporal_tiled_decode(params, cfg: LtxVaeConfig, z, temb,
+                          tiling: TilingConfig, decode_fn=None):
+    """Temporal tiling (vae.rs:2358-2434): stride in latent time, blend in
+    sample time, drop the trailing frame of non-first tiles."""
+    _, _, num_frames, h, w = z.shape
+    tc = cfg.temporal_compression_ratio
+    sc = cfg.spatial_compression_ratio
+    num_sample_frames = (num_frames - 1) * tc + 1
+
+    lat_min_t = tiling.tile_sample_min_num_frames // tc
+    lat_str_t = tiling.tile_sample_stride_num_frames // tc
+    blend = tiling.tile_sample_min_num_frames - tiling.tile_sample_stride_num_frames
+
+    lat_min_h = tiling.tile_sample_min_height // sc
+    lat_min_w = tiling.tile_sample_min_width // sc
+
+    row = []
+    for loop_idx, i in enumerate(range(0, num_frames, lat_str_t)):
+        tile = z[:, :, i : min(i + lat_min_t + 1, num_frames)]
+        if w > lat_min_w or h > lat_min_h:
+            dec = tiled_decode(params, cfg, tile, temb, tiling, decode_fn)
+        else:
+            fn = decode_fn or (lambda zz, tt: decoder_forward(params["decoder"], cfg, zz, tt))
+            dec = fn(tile, temb)
+        if loop_idx > 0 and dec.shape[2] > 1:
+            dec = dec[:, :, :-1]
+        row.append(dec)
+
+    result = []
+    for idx, tile in enumerate(row):
+        if idx > 0:
+            blended = blend_t(row[idx - 1], tile, blend)
+            end = min(tiling.tile_sample_stride_num_frames, blended.shape[2])
+            result.append(blended[:, :, :end])
+        else:
+            end = min(tiling.tile_sample_stride_num_frames + 1, tile.shape[2])
+            result.append(tile[:, :, :end])
+
+    dec = jnp.concatenate(result, axis=2)
+    return dec[:, :, :num_sample_frames]
+
+
+def temporal_tiled_encode(params, cfg: LtxVaeConfig, x, tiling: TilingConfig,
+                          encode_fn=None):
+    """Temporal tiling for encode (vae.rs:2294-2356)."""
+    _, _, num_frames, h, w = x.shape
+    tc = cfg.temporal_compression_ratio
+    latent_num_frames = (num_frames - 1) // tc + 1
+
+    lat_min_t = tiling.tile_sample_min_num_frames // tc
+    lat_str_t = tiling.tile_sample_stride_num_frames // tc
+    blend = lat_min_t - lat_str_t
+
+    row = []
+    for i in range(0, num_frames, tiling.tile_sample_stride_num_frames):
+        tile = x[:, :, i : min(i + tiling.tile_sample_min_num_frames + 1, num_frames)]
+        if h > tiling.tile_sample_min_height or w > tiling.tile_sample_min_width:
+            enc = tiled_encode(params, cfg, tile, tiling, encode_fn)
+        else:
+            fn = encode_fn or (lambda xx: encoder_forward(params["encoder"], cfg, xx))
+            enc = fn(tile)
+        if i == 0:
+            enc = enc[:, :, 1:]
+        row.append(enc)
+
+    result = []
+    for idx, tile in enumerate(row):
+        if idx > 0:
+            blended = blend_t(row[idx - 1], tile, blend)
+            end = min(lat_str_t, blended.shape[2])
+            result.append(blended[:, :, :end])
+        else:
+            end = min(lat_str_t + 1, tile.shape[2])
+            result.append(tile[:, :, :end])
+
+    enc = jnp.concatenate(result, axis=2)
+    return enc[:, :, :latent_num_frames]
+
+
+def decode(
+    params,
+    cfg: LtxVaeConfig,
+    z,
+    temb=None,
+    *,
+    tiling: Optional[TilingConfig] = None,
+    use_tiling: bool = True,
+    use_framewise_decoding: bool = True,
+    decode_fn=None,
+):
+    """Facade decode with the reference's dispatch order (vae.rs:2037-2066):
+    temporal tiling if T exceeds the latent frame tile, else spatial tiling
+    if H/W exceed the latent tile, else direct."""
+    tiling = tiling or TilingConfig()
+    _, _, t, h, w = z.shape
+    sc = cfg.spatial_compression_ratio
+    tc = cfg.temporal_compression_ratio
+    if use_framewise_decoding and t > tiling.tile_sample_min_num_frames // tc:
+        return temporal_tiled_decode(params, cfg, z, temb, tiling, decode_fn)
+    if use_tiling and (
+        w > tiling.tile_sample_min_width // sc or h > tiling.tile_sample_min_height // sc
+    ):
+        return tiled_decode(params, cfg, z, temb, tiling, decode_fn)
+    fn = decode_fn or (lambda zz, tt: decoder_forward(params["decoder"], cfg, zz, tt))
+    return fn(z, temb)
+
+
+def encode(
+    params,
+    cfg: LtxVaeConfig,
+    x,
+    *,
+    tiling: Optional[TilingConfig] = None,
+    use_tiling: bool = True,
+    use_framewise_encoding: bool = False,
+    encode_fn=None,
+):
+    tiling = tiling or TilingConfig()
+    _, _, t, h, w = x.shape
+    if use_framewise_encoding and t > tiling.tile_sample_min_num_frames:
+        return temporal_tiled_encode(params, cfg, x, tiling, encode_fn)
+    if use_tiling and (
+        h > tiling.tile_sample_min_height or w > tiling.tile_sample_min_width
+    ):
+        return tiled_encode(params, cfg, x, tiling, encode_fn)
+    fn = encode_fn or (lambda xx: encoder_forward(params["encoder"], cfg, xx))
+    return fn(x)

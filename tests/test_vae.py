@@ -1,0 +1,395 @@
+"""3D causal VAE tests: conv3d vs torch (independent), tiny encoder/decoder
+parity vs the torch mirror, blend/tiling semantics, patchify roundtrips.
+
+Covers the reference's verify_conv3d_parity / verify_upsampler_parity /
+verify_vae_parity / vae tiling suites.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+import torch_ltx_vae as tv  # noqa: E402
+
+from candle_video_tpu.models.ltx_video import vae as V  # noqa: E402
+from candle_video_tpu.models.ltx_video.loader import (  # noqa: E402
+    torch_state_dict_to_numpy,
+    vae_params_from_state_dict,
+)
+from candle_video_tpu.ops.conv3d import causal_conv3d  # noqa: E402
+
+
+TINY_CFG_DICT = dict(
+    in_channels=3,
+    out_channels=3,
+    latent_channels=4,
+    block_out_channels=[8, 16, 32],
+    decoder_block_out_channels=[8, 16],
+    spatiotemporal_scaling=[True, True],
+    decoder_spatiotemporal_scaling=[True, True],
+    layers_per_block=[1, 1, 2],
+    decoder_layers_per_block=[1, 1, 1],
+    patch_size=2,
+    patch_size_t=1,
+    downsample_types=["spatiotemporal", "spatiotemporal"],
+    decoder_upsample_residual=[True, True],
+    decoder_upsample_factor=[2, 2],
+    timestep_conditioning=True,
+    decoder_causal=False,
+    spatial_compression_ratio=8,
+    temporal_compression_ratio=4,
+)
+
+
+def tiny_jax_cfg():
+    return V.LtxVaeConfig(
+        in_channels=3,
+        out_channels=3,
+        latent_channels=4,
+        block_out_channels=(8, 16, 32),
+        decoder_block_out_channels=(8, 16),
+        spatiotemporal_scaling=(True, True),
+        decoder_spatiotemporal_scaling=(True, True),
+        layers_per_block=(1, 1, 2),
+        decoder_layers_per_block=(1, 1, 1),
+        patch_size=2,
+        patch_size_t=1,
+        downsample_types=("spatiotemporal", "spatiotemporal"),
+        decoder_upsample_residual=(True, True),
+        decoder_upsample_factor=(2, 2),
+        timestep_conditioning=True,
+        decoder_causal=False,
+        spatial_compression_ratio=8,
+        temporal_compression_ratio=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# conv3d vs torch (fully independent oracle)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kernel,stride,causal",
+    [
+        ((3, 3, 3), (1, 1, 1), True),
+        ((3, 3, 3), (1, 1, 1), False),
+        ((3, 3, 3), (2, 2, 2), True),
+        ((1, 1, 1), (1, 1, 1), True),
+    ],
+)
+def test_causal_conv3d_vs_torch(rng, kernel, stride, causal):
+    b, ci, co, t, h, w = 2, 4, 6, 5, 8, 8
+    x = rng.normal(size=(b, ci, t, h, w)).astype(np.float32)
+    wgt = rng.normal(size=(co, ci, *kernel)).astype(np.float32) * 0.2
+    bias = rng.normal(size=(co,)).astype(np.float32)
+
+    got = np.asarray(
+        causal_conv3d(
+            jnp.asarray(x), jnp.asarray(wgt), jnp.asarray(bias),
+            stride=stride, causal=causal,
+        )
+    )
+
+    xt = torch.from_numpy(x)
+    kt = kernel[0]
+    if kt > 1:
+        if causal:
+            xt = F.pad(xt, (0, 0, 0, 0, kt - 1, 0), mode="replicate")
+        else:
+            side = (kt - 1) // 2
+            xt = F.pad(xt, (0, 0, 0, 0, side, side), mode="replicate")
+    ref = F.conv3d(
+        xt, torch.from_numpy(wgt), torch.from_numpy(bias),
+        stride=stride, padding=(0, kernel[1] // 2, kernel[2] // 2),
+    ).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_conv3d_causality():
+    """Causal conv: output at frame t must not depend on frames > t."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 2, 6, 4, 4)).astype(np.float32)
+    wgt = rng.normal(size=(3, 2, 3, 3, 3)).astype(np.float32)
+    y1 = np.asarray(causal_conv3d(jnp.asarray(x), jnp.asarray(wgt), causal=True))
+    x2 = x.copy()
+    x2[:, :, 4:] += 100.0  # perturb the future
+    y2 = np.asarray(causal_conv3d(jnp.asarray(x2), jnp.asarray(wgt), causal=True))
+    np.testing.assert_allclose(y1[:, :, :4], y2[:, :, :4], atol=1e-4)
+    assert np.abs(y1[:, :, 4:] - y2[:, :, 4:]).max() > 1.0
+
+
+# ---------------------------------------------------------------------------
+# patchify / shuffles
+# ---------------------------------------------------------------------------
+
+
+def test_patchify_roundtrip(rng):
+    x = rng.normal(size=(2, 3, 4, 8, 8)).astype(np.float32)
+    p = V._patchify(jnp.asarray(x), 2, 2)
+    assert p.shape == (2, 3 * 2 * 2 * 2, 2, 4, 4)
+    back = V._unpatchify(p, 2, 2)
+    np.testing.assert_allclose(np.asarray(back), x, atol=0)
+
+
+def test_patchify_matches_torch_mirror(rng):
+    x = rng.normal(size=(1, 3, 2, 4, 4)).astype(np.float32)
+    enc = tv.Encoder3d(TINY_CFG_DICT)
+    ref = enc.patchify(torch.from_numpy(x)).numpy()
+    got = np.asarray(V._patchify(jnp.asarray(x), 2, 1))
+    np.testing.assert_allclose(got, ref, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# block-level parity vs torch mirror
+# ---------------------------------------------------------------------------
+
+
+def _to_jax_sd(module, prefix):
+    sd = torch_state_dict_to_numpy(module.state_dict())
+    return {f"{prefix}.{k}": v for k, v in sd.items()}
+
+
+def test_resnet_block_parity(rng):
+    torch.manual_seed(0)
+    blk = tv.ResnetBlock3d(8, 8, timestep_conditioning=True).eval()
+    x = rng.normal(size=(2, 8, 3, 4, 4)).astype(np.float32)
+    temb = rng.normal(size=(2, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = blk(torch.from_numpy(x), torch.from_numpy(temb).view(2, 32, 1, 1, 1)).numpy()
+
+    sd = {f"r.{k}": v for k, v in torch_state_dict_to_numpy(blk.state_dict()).items()}
+    from candle_video_tpu.models.ltx_video.loader import _resnet_params
+
+    p = _resnet_params(sd, "r", jnp.float32)
+    cfg = tiny_jax_cfg()
+    got = np.asarray(
+        V._resnet_block(p, cfg, jnp.asarray(x), jnp.asarray(temb).reshape(2, 32, 1, 1, 1))
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_resnet_block_channel_change_parity(rng):
+    torch.manual_seed(1)
+    blk = tv.ResnetBlock3d(8, 16).eval()
+    x = rng.normal(size=(1, 8, 2, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = blk(torch.from_numpy(x)).numpy()
+    sd = {f"r.{k}": v for k, v in torch_state_dict_to_numpy(blk.state_dict()).items()}
+    from candle_video_tpu.models.ltx_video.loader import _resnet_params
+
+    p = _resnet_params(sd, "r", jnp.float32)
+    got = np.asarray(V._resnet_block(p, tiny_jax_cfg(), jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_downsampler_parity(rng):
+    torch.manual_seed(2)
+    ds = tv.Downsampler3d(8, 16, (2, 2, 2)).eval()
+    # temporal dim must satisfy t % st == 1 (97-frame-style inputs)
+    x = rng.normal(size=(1, 8, 5, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = ds(torch.from_numpy(x)).numpy()
+    sd = torch_state_dict_to_numpy(ds.state_dict())
+    p = {"conv": {"weight": jnp.asarray(sd["conv.conv.weight"]),
+                  "bias": jnp.asarray(sd["conv.conv.bias"])}}
+    got = np.asarray(
+        V._pixel_unshuffle_downsample(p, jnp.asarray(x), (2, 2, 2), 16)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_upsampler_parity(rng):
+    torch.manual_seed(3)
+    us = tv.Upsampler3d(16, 8, (2, 2, 2), causal=False, residual=True).eval()
+    x = rng.normal(size=(1, 16, 3, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = us(torch.from_numpy(x)).numpy()
+    sd = torch_state_dict_to_numpy(us.state_dict())
+    p = {"conv": {"weight": jnp.asarray(sd["conv.conv.weight"]),
+                  "bias": jnp.asarray(sd["conv.conv.bias"])}}
+    got = np.asarray(
+        V._upsampler(p, jnp.asarray(x), (2, 2, 2), True, 64 // 16, causal=False)
+    )
+    assert got.shape == ref.shape  # [1, 8, 5, 8, 8]
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# full tiny encoder/decoder parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_vae():
+    torch.manual_seed(0)
+    enc = tv.Encoder3d(TINY_CFG_DICT).eval()
+    dec = tv.Decoder3d(TINY_CFG_DICT).eval()
+    sd = {}
+    sd.update(_to_jax_sd(enc, "encoder"))
+    sd.update(_to_jax_sd(dec, "decoder"))
+    params = vae_params_from_state_dict(sd, dtype=jnp.float32)
+    return enc, dec, params, tiny_jax_cfg()
+
+
+def test_encoder_parity(tiny_vae, rng):
+    enc, _, params, cfg = tiny_vae
+    x = rng.normal(size=(1, 3, 5, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = enc(torch.from_numpy(x)).numpy()
+    got = np.asarray(V.encoder_forward(params["encoder"], cfg, jnp.asarray(x)))
+    assert got.shape == ref.shape == (1, 8, 2, 2, 2)
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_decoder_parity(tiny_vae, rng):
+    _, dec, params, cfg = tiny_vae
+    z = rng.normal(size=(1, 4, 2, 4, 4)).astype(np.float32)
+    temb = np.array([0.05], np.float32)
+    with torch.no_grad():
+        ref = dec(torch.from_numpy(z), torch.from_numpy(temb)).numpy()
+    got = np.asarray(
+        V.decoder_forward(params["decoder"], cfg, jnp.asarray(z), jnp.asarray(temb))
+    )
+    assert got.shape == ref.shape  # [1, 3, 5, 32, 32]
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_decoder_parity_no_temb(tiny_vae, rng):
+    _, dec, params, cfg = tiny_vae
+    z = rng.normal(size=(1, 4, 2, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = dec(torch.from_numpy(z), None).numpy()
+    got = np.asarray(V.decoder_forward(params["decoder"], cfg, jnp.asarray(z), None))
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_gaussian_split_and_logvar_trick(tiny_vae, rng):
+    _, _, params, cfg = tiny_vae
+    x = rng.normal(size=(1, 3, 5, 16, 16)).astype(np.float32)
+    moments = V.encoder_forward(params["encoder"], cfg, jnp.asarray(x))
+    mean, logvar = V.gaussian_split(moments)
+    assert mean.shape == logvar.shape == (1, 4, 2, 2, 2)
+    lv = np.asarray(logvar)
+    # uniform logvar: channels 1..3 replicate the trick channel
+    np.testing.assert_allclose(lv[:, 1], lv[:, 2], atol=0)
+    np.testing.assert_allclose(lv[:, 2], lv[:, 3], atol=0)
+
+
+# ---------------------------------------------------------------------------
+# blending & tiling
+# ---------------------------------------------------------------------------
+
+
+def test_blend_h_formula(rng):
+    a = rng.normal(size=(1, 2, 2, 3, 8)).astype(np.float32)
+    b = rng.normal(size=(1, 2, 2, 3, 8)).astype(np.float32)
+    blend = 4
+    got = np.asarray(V.blend_h(jnp.asarray(a), jnp.asarray(b), blend))
+    expected = b.copy()
+    for x in range(blend):
+        expected[..., x] = a[..., -blend + x] * (1 - x / blend) + b[..., x] * (x / blend)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_blend_v_t_formula(rng):
+    a = rng.normal(size=(1, 2, 6, 8, 3)).astype(np.float32)
+    b = rng.normal(size=(1, 2, 6, 8, 3)).astype(np.float32)
+    got = np.asarray(V.blend_v(jnp.asarray(a), jnp.asarray(b), 3))
+    expected = b.copy()
+    for y in range(3):
+        expected[..., y, :] = a[..., -3 + y, :] * (1 - y / 3) + b[..., y, :] * (y / 3)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    got_t = np.asarray(V.blend_t(jnp.asarray(a), jnp.asarray(b), 2))
+    expected = b.copy()
+    for x in range(2):
+        expected[:, :, x] = a[:, :, -2 + x] * (1 - x / 2) + b[:, :, x] * (x / 2)
+    np.testing.assert_allclose(got_t, expected, atol=1e-6)
+
+
+def test_tiled_decode_equals_direct_when_tile_covers(tiny_vae, rng):
+    _, _, params, cfg = tiny_vae
+    z = rng.normal(size=(1, 4, 2, 4, 4)).astype(np.float32)
+    temb = jnp.asarray([0.05], jnp.float32)
+    tiling = V.TilingConfig(
+        tile_sample_min_height=64, tile_sample_min_width=64,
+        tile_sample_stride_height=64, tile_sample_stride_width=64,
+        tile_sample_min_num_frames=64, tile_sample_stride_num_frames=64,
+    )
+    direct = V.decoder_forward(params["decoder"], cfg, jnp.asarray(z), temb)
+    tiled = V.tiled_decode(params, cfg, jnp.asarray(z), temb, tiling)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(direct), atol=1e-5)
+
+
+def test_tiled_decode_blends_multiple_tiles(tiny_vae, rng):
+    _, _, params, cfg = tiny_vae
+    z = rng.normal(size=(1, 4, 2, 8, 8)).astype(np.float32)
+    temb = jnp.asarray([0.05], jnp.float32)
+    tiling = V.TilingConfig(
+        tile_sample_min_height=32, tile_sample_min_width=32,
+        tile_sample_stride_height=24, tile_sample_stride_width=24,
+        tile_sample_min_num_frames=64, tile_sample_stride_num_frames=64,
+    )
+    out = V.tiled_decode(params, cfg, jnp.asarray(z), temb, tiling)
+    assert out.shape == (1, 3, 5, 64, 64)
+    direct = V.decoder_forward(params["decoder"], cfg, jnp.asarray(z), temb)
+    # tiles of a random-init decoder disagree near seams; demand broad
+    # agreement only (real checkpoints are much tighter)
+    d = np.asarray(out) - np.asarray(direct)
+    assert np.mean(d**2) < 0.25
+
+
+def test_temporal_tiled_decode_shape(tiny_vae, rng):
+    _, _, params, cfg = tiny_vae
+    z = rng.normal(size=(1, 4, 6, 4, 4)).astype(np.float32)
+    temb = jnp.asarray([0.05], jnp.float32)
+    tiling = V.TilingConfig(
+        tile_sample_min_height=64, tile_sample_min_width=64,
+        tile_sample_stride_height=48, tile_sample_stride_width=48,
+        tile_sample_min_num_frames=8, tile_sample_stride_num_frames=4,
+    )
+    out = V.temporal_tiled_decode(params, cfg, jnp.asarray(z), temb, tiling)
+    assert out.shape == (1, 3, (6 - 1) * 4 + 1, 32, 32)
+
+
+def test_facade_dispatch(tiny_vae, rng):
+    _, _, params, cfg = tiny_vae
+    z = rng.normal(size=(1, 4, 2, 4, 4)).astype(np.float32)
+    temb = jnp.asarray([0.05], jnp.float32)
+    out = V.decode(params, cfg, jnp.asarray(z), temb, use_tiling=False,
+                   use_framewise_decoding=False)
+    assert out.shape == (1, 3, 5, 32, 32)
+
+
+# ---------------------------------------------------------------------------
+# latent normalize / denormalize
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_denormalize_roundtrip(rng):
+    x = rng.normal(size=(2, 4, 3, 5, 5)).astype(np.float32)
+    mean = rng.normal(size=(4,)).astype(np.float32)
+    std = (rng.random(4).astype(np.float32) + 0.5)
+    n = V.normalize_latents(jnp.asarray(x), jnp.asarray(mean), jnp.asarray(std), 0.7)
+    back = V.denormalize_latents(n, jnp.asarray(mean), jnp.asarray(std), 0.7)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-5)
+
+
+def test_normalize_formula(rng):
+    x = rng.normal(size=(1, 2, 1, 2, 2)).astype(np.float32)
+    mean = np.array([1.0, -1.0], np.float32)
+    std = np.array([2.0, 0.5], np.float32)
+    got = np.asarray(
+        V.normalize_latents(jnp.asarray(x), jnp.asarray(mean), jnp.asarray(std), 3.0)
+    )
+    expected = (x - mean.reshape(1, 2, 1, 1, 1)) * 3.0 / std.reshape(1, 2, 1, 1, 1)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
