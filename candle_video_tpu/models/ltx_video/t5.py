@@ -1,0 +1,252 @@
+"""T5-XXL encoder (encoder-only) for prompt embedding — functional JAX.
+
+Parity target: the reference's from-scratch quantized T5 encoder
+(src/models/ltx_video/quantized_t5_encoder.rs:20-682): 24 pre-norm blocks,
+relative position bias computed in layer 0 and shared, gated-GELU FFN, no
+1/sqrt(d) attention scaling, final RMSNorm.
+
+TPU-first differences:
+- GGUF weights are block-dequantized ONCE at load into BF16 HBM arrays (the
+  reference dequantizes every forward, quantized_t5_encoder.rs:59-71),
+- softmax runs on-device in f32 (the reference ships scores to the CPU,
+  quantized_t5_encoder.rs:238-241 — an explicit anti-goal here),
+- the position-bias table is precomputed host-side for the fixed 128-token
+  prompt length and passed in as a constant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.norms import rms_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    """Mirror of T5EncoderConfig (quantized_t5_encoder.rs:19-47)."""
+
+    vocab_size: int = 32128
+    d_model: int = 4096
+    d_kv: int = 64
+    d_ff: int = 10240
+    num_layers: int = 24
+    num_heads: int = 64
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_epsilon: float = 1e-6
+
+
+def t5_xxl() -> T5Config:
+    return T5Config()
+
+
+def relative_position_bucket(
+    relative_position: np.ndarray,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+) -> np.ndarray:
+    """HF bidirectional bucket formula (quantized_t5_encoder.rs:347-403)."""
+    num_buckets //= 2
+    ret = (relative_position > 0).astype(np.int64) * num_buckets
+    n = np.abs(relative_position)
+
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+
+    large = max_exact + (
+        np.log(np.maximum(n, 1) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, num_buckets - 1)
+
+    return ret + np.where(is_small, n, large)
+
+
+def position_bias(params, cfg: T5Config, seq_len: int) -> jnp.ndarray:
+    """[1, heads, S, S] additive bias from the layer-0 embedding table."""
+    ctx = np.arange(seq_len)[:, None]
+    mem = np.arange(seq_len)[None, :]
+    buckets = relative_position_bucket(
+        mem - ctx,
+        cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance,
+    )
+    table = params["blocks"][0]["attn"]["relative_attention_bias"]  # [buckets, H]
+    bias = jnp.asarray(table)[jnp.asarray(buckets)]  # [S, S, H]
+    return jnp.transpose(bias, (2, 0, 1))[None].astype(jnp.float32)
+
+
+def _linear(p, x):
+    return x @ p["weight"]
+
+
+def _attention(p, cfg: T5Config, x, bias):
+    b, s, _ = x.shape
+    h, dk = cfg.num_heads, cfg.d_kv
+    q = _linear(p["q"], x).reshape(b, s, h, dk)
+    k = _linear(p["k"], x).reshape(b, s, h, dk)
+    v = _linear(p["v"], x).reshape(b, s, h, dk)
+
+    # T5: no 1/sqrt(d) scaling; f32 softmax
+    qf = jnp.swapaxes(q, 1, 2).astype(jnp.float32)
+    kf = jnp.swapaxes(k, 1, 2).astype(jnp.float32)
+    vf = jnp.swapaxes(v, 1, 2).astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    scores = jnp.einsum("bhsd,bhkd->bhsk", qf, kf, precision=hi)
+    if bias is not None:
+        scores = scores + bias
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhsk,bhkd->bhsd", w, vf, precision=hi).astype(x.dtype)
+    out = jnp.swapaxes(out, 1, 2).reshape(b, s, h * dk)
+    return _linear(p["o"], out)
+
+
+def _gelu_new(x):
+    """gelu_new: f32 tanh approximation (quantized_t5_encoder.rs:10-16)."""
+    xf = x.astype(jnp.float32)
+    inner = xf + 0.044715 * xf * xf * xf
+    out = 0.5 * xf * (jnp.tanh(jnp.float32(math.sqrt(2.0 / math.pi)) * inner) + 1.0)
+    return out.astype(x.dtype)
+
+
+def _ffn(p, x):
+    gate = _gelu_new(_linear(p["wi_0"], x))
+    up = _linear(p["wi_1"], x)
+    return _linear(p["wo"], gate * up)
+
+
+def forward(
+    params,
+    cfg: T5Config,
+    input_ids,  # [B, S] int32
+    attention_mask=None,  # [B, S] 1=keep / 0=pad, or None
+    pos_bias=None,  # precomputed [1, H, S, S]; built on the fly if None
+):
+    """Returns final hidden states [B, S, d_model] in the embedding dtype."""
+    x = jnp.take(params["embedding"], input_ids, axis=0)
+
+    if pos_bias is None:
+        pos_bias = position_bias(params, cfg, input_ids.shape[1])
+
+    bias = pos_bias
+    if attention_mask is not None:
+        ext = (1.0 - attention_mask.astype(jnp.float32)) * -1e9
+        bias = bias + ext[:, None, None, :]
+
+    eps = cfg.layer_norm_epsilon
+    for blk in params["blocks"]:
+        normed = rms_norm(x, blk["attn_norm"]["weight"], eps=eps)
+        x = x + _attention(blk["attn"], cfg, normed, bias)
+        normed = rms_norm(x, blk["ffn_norm"]["weight"], eps=eps)
+        x = x + _ffn(blk["ffn"], normed)
+
+    return rms_norm(x, params["final_norm"]["weight"], eps=eps)
+
+
+# ---------------------------------------------------------------------------
+# loaders
+# ---------------------------------------------------------------------------
+
+
+def params_from_gguf(path: str, cfg: Optional[T5Config] = None, dtype=jnp.bfloat16):
+    """Load from a GGUF file with enc.blk.N.* names
+    (quantized_t5_encoder.rs:126-154, 574-604); dequantizes once at load."""
+    from ...quant.gguf import GGUFFile
+
+    cfg = cfg or t5_xxl()
+    f = GGUFFile(path)
+
+    def t(name, transpose=False):
+        arr = f.tensor(name)
+        if transpose:
+            arr = np.ascontiguousarray(arr.T)
+        return jnp.asarray(arr, dtype)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        pre = f"enc.blk.{i}"
+        blk = {
+            "attn": {
+                "q": {"weight": t(f"{pre}.attn_q.weight", True)},
+                "k": {"weight": t(f"{pre}.attn_k.weight", True)},
+                "v": {"weight": t(f"{pre}.attn_v.weight", True)},
+                "o": {"weight": t(f"{pre}.attn_o.weight", True)},
+            },
+            "attn_norm": {"weight": t(f"{pre}.attn_norm.weight")},
+            "ffn": {
+                "wi_0": {"weight": t(f"{pre}.ffn_gate.weight", True)},
+                "wi_1": {"weight": t(f"{pre}.ffn_up.weight", True)},
+                "wo": {"weight": t(f"{pre}.ffn_down.weight", True)},
+            },
+            "ffn_norm": {"weight": t(f"{pre}.ffn_norm.weight")},
+        }
+        if i == 0:
+            # GGUF stores [num_buckets, num_heads]
+            blk["attn"]["relative_attention_bias"] = jnp.asarray(
+                f.tensor(f"{pre}.attn_rel_b.weight"), jnp.float32
+            )
+        blocks.append(blk)
+
+    params = {
+        "embedding": t("token_embd.weight"),
+        "blocks": blocks,
+        "final_norm": {"weight": t("enc.output_norm.weight")},
+    }
+    f.close()
+    return params
+
+
+def params_from_hf_state_dict(sd: Dict[str, np.ndarray], cfg: Optional[T5Config] = None,
+                              dtype=jnp.bfloat16, prefix: str = ""):
+    """Load from a HuggingFace transformers T5EncoderModel state dict
+    (names: encoder.block.N.layer.{0,1}...)."""
+    cfg = cfg or t5_xxl()
+
+    def t(name, transpose=False):
+        arr = np.asarray(sd[prefix + name])
+        if transpose:
+            arr = np.ascontiguousarray(arr.T)
+        return jnp.asarray(arr, dtype)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        pre = f"encoder.block.{i}"
+        blk = {
+            "attn": {
+                "q": {"weight": t(f"{pre}.layer.0.SelfAttention.q.weight", True)},
+                "k": {"weight": t(f"{pre}.layer.0.SelfAttention.k.weight", True)},
+                "v": {"weight": t(f"{pre}.layer.0.SelfAttention.v.weight", True)},
+                "o": {"weight": t(f"{pre}.layer.0.SelfAttention.o.weight", True)},
+            },
+            "attn_norm": {"weight": t(f"{pre}.layer.0.layer_norm.weight")},
+            "ffn": {
+                "wi_0": {"weight": t(f"{pre}.layer.1.DenseReluDense.wi_0.weight", True)},
+                "wi_1": {"weight": t(f"{pre}.layer.1.DenseReluDense.wi_1.weight", True)},
+                "wo": {"weight": t(f"{pre}.layer.1.DenseReluDense.wo.weight", True)},
+            },
+            "ffn_norm": {"weight": t(f"{pre}.layer.1.layer_norm.weight")},
+        }
+        if i == 0:
+            # HF stores [num_buckets, num_heads] as an embedding table
+            blk["attn"]["relative_attention_bias"] = jnp.asarray(
+                np.asarray(
+                    sd[prefix + f"{pre}.layer.0.SelfAttention"
+                       ".relative_attention_bias.weight"]
+                ),
+                jnp.float32,
+            )
+        blocks.append(blk)
+
+    emb_key = "shared.weight" if prefix + "shared.weight" in sd else "encoder.embed_tokens.weight"
+    return {
+        "embedding": t(emb_key),
+        "blocks": blocks,
+        "final_norm": {"weight": t("encoder.final_layer_norm.weight")},
+    }
