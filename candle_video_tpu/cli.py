@@ -1,0 +1,249 @@
+"""LTX-Video text-to-video CLI.
+
+Mirror of the reference CLI's flag surface (examples/ltx-video/
+main.rs:17-107): version presets, local/unified weight resolution, prompt /
+negative prompt, resolution/frames/steps/guidance knobs, precomputed
+embedding + initial-latent injection, latent saving, PNG/GIF export.
+
+Run: python -m candle_video_tpu.cli --help
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="candle-video-tpu",
+        description="LTX-Video text-to-video on TPU (JAX/Pallas)",
+    )
+    p.add_argument("--prompt", type=str, default="A cat walking on grass")
+    p.add_argument("--negative-prompt", type=str,
+                   default="worst quality, inconsistent motion, blurry, jittery, distorted")
+    p.add_argument("--version", type=str, default="0.9.8-2b-distilled",
+                   help="preset: 0.9.5 | 0.9.6-dev | 0.9.6-distilled | "
+                        "0.9.8-2b-distilled | 0.9.8-13b-dev | 0.9.8-13b-distilled")
+    p.add_argument("--weights-path", type=str, default=None,
+                   help="diffusers-style model dir OR unified .safetensors file")
+    p.add_argument("--t5-gguf", type=str, default=None,
+                   help="GGUF file for the quantized T5-XXL encoder")
+    p.add_argument("--t5-dir", type=str, default=None,
+                   help="HF text_encoder dir (safetensors, BF16 path)")
+    p.add_argument("--tokenizer", type=str, default=None,
+                   help="tokenizer.json path")
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=768)
+    p.add_argument("--num-frames", type=int, default=97)
+    p.add_argument("--frame-rate", type=float, default=25.0)
+    p.add_argument("--num-inference-steps", type=int, default=None)
+    p.add_argument("--guidance-scale", type=float, default=None)
+    p.add_argument("--guidance-rescale", type=float, default=None)
+    p.add_argument("--stg-scale", type=float, default=None)
+    p.add_argument("--skip-block-list", type=int, nargs="*", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num-videos-per-prompt", type=int, default=1)
+    p.add_argument("--output-dir", type=str, default="output")
+    p.add_argument("--save-frames", action="store_true")
+    p.add_argument("--gif", action="store_true")
+    p.add_argument("--mp4", action="store_true", default=True)
+    p.add_argument("--output-type", type=str, default="tensor",
+                   choices=["tensor", "latent"])
+    p.add_argument("--embeddings-file", type=str, default=None,
+                   help="safetensors with prompt_embeds/prompt_attention_mask "
+                        "(and negative_*) to skip the text encoder")
+    p.add_argument("--initial-latents-file", type=str, default=None,
+                   help="safetensors with an 'latents' tensor")
+    p.add_argument("--save-final-latents", type=str, default=None)
+    p.add_argument("--max-sequence-length", type=int, default=128)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--vae-tiling", action="store_true",
+                   help="enable spatial+temporal VAE tiling (off by default: "
+                        "one v5e chip decodes 512x768x97f untiled)")
+    p.add_argument("--attn-impl", type=str, default="auto",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--pcg-rng", action="store_true", default=True,
+                   help="use the deterministic PCG32 latent RNG (cross-impl "
+                        "reproducibility with the reference)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="device mesh spec, e.g. 'dp=1,tp=4' for sharded 13B")
+    return p
+
+
+def load_pipeline(args):
+    import jax.numpy as jnp
+
+    from .models.ltx_video import t5 as T5
+    from .models.ltx_video import transformer as TF
+    from .models.ltx_video.configs import get_config_by_version
+    from .models.ltx_video.loader import (
+        load_safetensors,
+        load_sharded,
+        transformer_params_from_state_dict,
+        vae_params_from_state_dict,
+    )
+    from .models.ltx_video.pipeline import LtxPipeline
+    from .models.ltx_video.weight_format import detect_format, split_unified_state_dict
+    from .utils.tokenizer import MockTokenizer, T5TokenizerWrapper
+
+    cfg = get_config_by_version(args.version)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    tparams = vparams = None
+    if args.weights_path:
+        fmt = detect_format(args.weights_path)
+        print(f"Loading weights ({fmt}): {args.weights_path}")
+        if fmt == "official":
+            sd = load_safetensors(args.weights_path)
+            tsd, vsd = split_unified_state_dict(sd)
+        else:
+            tsd = load_sharded(os.path.join(args.weights_path, "transformer"))
+            vsd = load_sharded(os.path.join(args.weights_path, "vae"))
+        tparams = transformer_params_from_state_dict(tsd, cfg.transformer, dtype)
+        vparams = vae_params_from_state_dict(vsd, dtype)
+    else:
+        print("No --weights-path: using random-init models (smoke mode)")
+        import jax
+
+        tparams = TF.init_params(jax.random.PRNGKey(0), cfg.transformer, dtype)
+        from .models.ltx_video.vae_init import init_vae_params
+
+        vparams = init_vae_params(jax.random.PRNGKey(1), cfg.vae, dtype)
+
+    t5_params = None
+    t5_cfg = T5.t5_xxl()
+    if args.t5_gguf:
+        print(f"Loading GGUF T5: {args.t5_gguf}")
+        t5_params = T5.params_from_gguf(args.t5_gguf, t5_cfg, dtype)
+    elif args.t5_dir:
+        print(f"Loading T5 dir: {args.t5_dir}")
+        sd = load_sharded(args.t5_dir)
+        t5_params = T5.params_from_hf_state_dict(sd, t5_cfg, dtype)
+
+    if args.tokenizer:
+        tokenizer = T5TokenizerWrapper(args.tokenizer, args.max_sequence_length)
+    else:
+        tokenizer = MockTokenizer(model_max_length=args.max_sequence_length)
+
+    return LtxPipeline(
+        config=cfg,
+        transformer_params=tparams,
+        vae_params=vparams,
+        t5_params=t5_params,
+        t5_config=t5_cfg,
+        tokenizer=tokenizer,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models.ltx_video.pipeline import generate
+    from .utils import video_io
+
+    print(f"candle-video-tpu | version preset {args.version}")
+    print(f"devices: {jax.devices()}")
+
+    pipe = load_pipeline(args)
+
+    kwargs = {}
+    if args.embeddings_file:
+        from .models.ltx_video.loader import load_safetensors
+
+        emb = load_safetensors(args.embeddings_file)
+        kwargs["prompt_embeds"] = jnp.asarray(emb["prompt_embeds"])
+        kwargs["prompt_attention_mask"] = jnp.asarray(emb["prompt_attention_mask"])
+        if "negative_prompt_embeds" in emb:
+            kwargs["negative_prompt_embeds"] = jnp.asarray(emb["negative_prompt_embeds"])
+            kwargs["negative_prompt_attention_mask"] = jnp.asarray(
+                emb["negative_prompt_attention_mask"]
+            )
+    else:
+        kwargs["prompt"] = args.prompt
+        kwargs["negative_prompt"] = args.negative_prompt
+        if pipe.t5_params is None:
+            print("WARNING: no T5 weights given; using random embeddings via mock "
+                  "tokenizer (smoke mode). Pass --t5-gguf/--t5-dir or "
+                  "--embeddings-file for real runs.")
+            rngk = np.random.default_rng(0)
+            kwargs.pop("prompt")
+            kwargs.pop("negative_prompt")
+            kwargs["prompt_embeds"] = jnp.asarray(
+                rngk.normal(size=(1, args.max_sequence_length,
+                                  pipe.config.transformer.caption_channels)) * 0.02,
+                jnp.float32,
+            )
+            kwargs["prompt_attention_mask"] = jnp.ones(
+                (1, args.max_sequence_length), jnp.float32
+            )
+            kwargs["negative_prompt_embeds"] = jnp.zeros_like(kwargs["prompt_embeds"])
+            kwargs["negative_prompt_attention_mask"] = kwargs["prompt_attention_mask"]
+
+    if args.initial_latents_file:
+        from .models.ltx_video.loader import load_safetensors
+
+        kwargs["latents"] = jnp.asarray(
+            load_safetensors(args.initial_latents_file)["latents"]
+        )
+
+    t0 = time.time()
+    out = generate(
+        pipe,
+        height=args.height,
+        width=args.width,
+        num_frames=args.num_frames,
+        frame_rate=args.frame_rate,
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        guidance_rescale=args.guidance_rescale,
+        stg_scale=args.stg_scale,
+        skip_block_list=args.skip_block_list,
+        num_videos_per_prompt=args.num_videos_per_prompt,
+        seed=args.seed,
+        output_type=args.output_type,
+        max_sequence_length=args.max_sequence_length,
+        use_pcg_rng=args.pcg_rng,
+        attn_impl=args.attn_impl,
+        use_vae_tiling=args.vae_tiling,
+        **kwargs,
+    )
+    out.block_until_ready()
+    dt = time.time() - t0
+    print(f"generation took {dt:.1f}s")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    if args.output_type == "latent" or args.save_final_latents:
+        import numpy as np
+        from safetensors.numpy import save_file
+
+        path = args.save_final_latents or os.path.join(args.output_dir, "latents.safetensors")
+        save_file({"latents": np.asarray(out, np.float32)}, path)
+        print(f"saved latents: {path}")
+        if args.output_type == "latent":
+            return 0
+
+    if args.save_frames:
+        paths = video_io.save_frames_png(out, args.output_dir)
+        print(f"saved {len(paths)} PNG frames to {args.output_dir}")
+    if args.gif:
+        path = video_io.save_gif(out, os.path.join(args.output_dir, "video.gif"),
+                                 args.frame_rate)
+        print(f"saved GIF: {path}")
+    if args.mp4:
+        path = video_io.save_mp4(out, os.path.join(args.output_dir, "video.mp4"),
+                                 args.frame_rate)
+        print(f"saved video: {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

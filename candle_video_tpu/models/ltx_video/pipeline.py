@@ -1,0 +1,470 @@
+"""LTX-Video text-to-video pipeline — jitted lax.scan denoise loop.
+
+Parity target: LtxPipeline::call (src/models/ltx_video/t2v_pipeline.rs:
+627-1073): prompt encoding with CFG negative branch, PCG32 latents, SD3 mu or
+distilled custom sigmas, video-coords with the causal frame fix, CFG/STG
+guidance, Euler steps in f32, decode-noise injection, postprocess to [0,255].
+
+TPU-first differences (deliberate redesign, not a port):
+- the denoise loop is ONE jitted ``lax.scan`` — no per-step Python dispatch,
+- CFG/STG passes are BATCHED on the batch axis (one forward of 2-3x batch)
+  instead of the reference's sequential passes (t2v_pipeline.rs:870-985);
+  batch rows are [uncond; cond; perturbed],
+- RoPE cos/sin tables are computed once before the loop (the reference
+  recomputes per forward),
+- latents stay f32 across steps; model inputs are cast to BF16 per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.rope import rope_cos_sin
+from ...utils.rng import Pcg32
+from . import scheduler as S
+from . import t5 as T5
+from . import transformer as TF
+from . import vae as V
+from .configs import LtxFullConfig
+
+
+# ---------------------------------------------------------------------------
+# latent packing (t2v_pipeline.rs:474-550)
+# ---------------------------------------------------------------------------
+
+
+def pack_latents(latents, patch_size: int = 1, patch_size_t: int = 1):
+    """[B,C,F,H,W] -> [B, S, D] with D = C*pt*p*p."""
+    b, c, f, h, w = latents.shape
+    p, pt = patch_size, patch_size_t
+    x = latents.reshape(b, c, f // pt, pt, h // p, p, w // p, p)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return x.reshape(b, (f // pt) * (h // p) * (w // p), c * pt * p * p)
+
+
+def unpack_latents(latents, num_frames: int, height: int, width: int,
+                   patch_size: int = 1, patch_size_t: int = 1):
+    """[B,S,D] -> [B,C,F,H,W] (inverse of pack_latents)."""
+    b, _, d = latents.shape
+    p, pt = patch_size, patch_size_t
+    c = d // (pt * p * p)
+    x = latents.reshape(b, num_frames, height, width, c, pt, p, p)
+    x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    return x.reshape(b, c, num_frames * pt, height * p, width * p)
+
+
+def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
+    """std-ratio guidance rescale (t2v_pipeline.rs:227-243); unbiased std."""
+
+    def _std(x):
+        flat = x.reshape(x.shape[0], -1)
+        return jnp.std(flat, axis=1, ddof=1).reshape(
+            (x.shape[0],) + (1,) * (x.ndim - 1)
+        )
+
+    ratio = _std(noise_pred_text) / _std(noise_cfg)
+    rescaled = noise_cfg * ratio
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
+
+def build_video_coords(
+    latent_num_frames: int,
+    latent_height: int,
+    latent_width: int,
+    frame_rate: float,
+    temporal_ratio: int = 8,
+    spatial_ratio: int = 32,
+) -> np.ndarray:
+    """[S, 3] video coords with the causal frame fix
+    ``(L*8 + 1 - 8).clamp(0) / frame_rate`` and spatial ``L*32``
+    (t2v_pipeline.rs:798-847)."""
+    f = np.arange(latent_num_frames, dtype=np.float32)
+    h = np.arange(latent_height, dtype=np.float32)
+    w = np.arange(latent_width, dtype=np.float32)
+    gf, gh, gw = np.meshgrid(f, h, w, indexing="ij")
+    vf = np.clip(gf * temporal_ratio + 1.0 - temporal_ratio, 0.0, 1000.0) / frame_rate
+    vh = gh * spatial_ratio
+    vw = gw * spatial_ratio
+    return np.stack([vf, vh, vw], axis=-1).reshape(-1, 3)
+
+
+def postprocess_video(video):
+    """[-1,1] -> [0,255] f32 (t2v_pipeline.rs:146-156)."""
+    video = jnp.clip(video.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+    return video * 255.0
+
+
+# ---------------------------------------------------------------------------
+# denoise loop
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tcfg", "num_conds", "stochastic", "attn_impl", "use_skip"),
+)
+def denoise_loop(
+    transformer_params,
+    tcfg: TF.LtxTransformerConfig,
+    latents,  # [B, S, C] f32
+    encoder_hidden_states,  # [num_conds*B, K, caption] (batched rows)
+    encoder_attention_mask,  # [num_conds*B, K]
+    sigmas,  # [N+1] f32
+    timesteps,  # [N] f32
+    rope_cos,  # [1 or B, S, D]
+    rope_sin,
+    guidance_scale,  # scalar f32
+    guidance_rescale,  # scalar f32
+    stg_scale,  # scalar f32
+    skip_layer_mask,  # [L, num_conds*B] f32 or zeros
+    noise_key,  # jax PRNG key (stochastic sampling)
+    num_conds: int = 1,
+    stochastic: bool = False,
+    attn_impl: str = "auto",
+    use_skip: bool = False,
+):
+    """Full denoising scan. Returns final latents [B, S, C] f32."""
+    b = latents.shape[0]
+    n_steps = timesteps.shape[0]
+
+    cos_b = jnp.broadcast_to(rope_cos, (num_conds * b,) + rope_cos.shape[1:])
+    sin_b = jnp.broadcast_to(rope_sin, (num_conds * b,) + rope_sin.shape[1:])
+
+    def step_fn(carry, xs):
+        lat, key = carry
+        t, sigma, sigma_next = xs
+
+        lat_in = jnp.tile(lat, (num_conds, 1, 1))
+        timestep = jnp.full((num_conds * b,), t, jnp.float32)
+
+        pred = TF.forward(
+            transformer_params,
+            tcfg,
+            lat_in,
+            encoder_hidden_states,
+            timestep,
+            cos_b,
+            sin_b,
+            encoder_attention_mask=encoder_attention_mask,
+            skip_layer_mask=skip_layer_mask if use_skip else None,
+            attn_impl=attn_impl,
+        ).astype(jnp.float32)
+
+        if num_conds == 3:  # [uncond; cond; perturbed]
+            uncond, text, perturbed = pred[:b], pred[b : 2 * b], pred[2 * b :]
+            combined = uncond + guidance_scale * (text - uncond)
+            combined = jnp.where(
+                guidance_rescale > 0,
+                rescale_noise_cfg(combined, text, guidance_rescale),
+                combined,
+            )
+            combined = combined + stg_scale * (text - perturbed)
+        elif num_conds == 2:  # [uncond; cond] (pure CFG)
+            uncond, text = pred[:b], pred[b:]
+            combined = uncond + guidance_scale * (text - uncond)
+            combined = jnp.where(
+                guidance_rescale > 0,
+                rescale_noise_cfg(combined, text, guidance_rescale),
+                combined,
+            )
+        else:
+            combined = pred
+
+        if stochastic:
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, lat.shape, jnp.float32)
+            new_lat = S.step(lat, combined, sigma, sigma_next,
+                             stochastic=True, noise=noise)
+        else:
+            new_lat = S.step(lat, combined, sigma, sigma_next)
+        return (new_lat, key), None
+
+    xs = (timesteps, sigmas[:-1], sigmas[1:])
+    (final, _), _ = jax.lax.scan(step_fn, (latents.astype(jnp.float32), noise_key), xs,
+                                 length=n_steps)
+    return final
+
+
+# ---------------------------------------------------------------------------
+# the pipeline facade
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LtxPipeline:
+    """Bundled modules; mirror of the reference's trait-object pipeline
+    (t2v_pipeline.rs:245-267) with pytrees instead of Box<dyn ...>."""
+
+    config: LtxFullConfig
+    transformer_params: Any
+    vae_params: Any = None
+    t5_params: Any = None
+    t5_config: Optional[T5.T5Config] = None
+    tokenizer: Any = None  # candle_video_tpu.utils.tokenizer.T5Tokenizer
+
+    # STG perturbation list, applied per-call (t2v_pipeline.rs:691-697)
+    interrupt: bool = False
+
+    def encode_prompt(self, prompts: Sequence[str], max_sequence_length: int = 128):
+        if self.tokenizer is None or self.t5_params is None:
+            raise ValueError("pipeline has no tokenizer/text encoder")
+        ids, mask = self.tokenizer.encode_batch(prompts, max_sequence_length)
+        pos_bias = T5.position_bias(self.t5_params, self.t5_config, ids.shape[1])
+        embeds = T5.forward(
+            self.t5_params, self.t5_config, jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask), pos_bias=pos_bias,
+        )
+        return embeds, jnp.asarray(mask, jnp.float32)
+
+    def __call__(self, **kwargs):
+        return generate(self, **kwargs)
+
+
+def check_inputs(height: int, width: int, prompt, prompt_embeds):
+    """t2v_pipeline.rs:313-365."""
+    if height % 32 != 0 or width % 32 != 0:
+        raise ValueError(f"height/width must be divisible by 32, got {height}x{width}")
+    if prompt is not None and prompt_embeds is not None:
+        raise ValueError("cannot pass both prompt and prompt_embeds")
+    if prompt is None and prompt_embeds is None:
+        raise ValueError("provide either prompt or prompt_embeds")
+
+
+def generate(
+    pipe: LtxPipeline,
+    prompt: Optional[Sequence[str] | str] = None,
+    negative_prompt: Optional[Sequence[str] | str] = None,
+    height: int = 512,
+    width: int = 768,
+    num_frames: int = 97,
+    frame_rate: float = 25.0,
+    num_inference_steps: Optional[int] = None,
+    sigmas: Optional[Sequence[float]] = None,
+    timesteps: Optional[Sequence[float]] = None,
+    guidance_scale: Optional[float] = None,
+    guidance_rescale: Optional[float] = None,
+    stg_scale: Optional[float] = None,
+    skip_block_list: Optional[Sequence[int]] = None,
+    num_videos_per_prompt: int = 1,
+    seed: int = 42,
+    latents=None,
+    prompt_embeds=None,
+    prompt_attention_mask=None,
+    negative_prompt_embeds=None,
+    negative_prompt_attention_mask=None,
+    decode_timestep: Optional[Sequence[float]] = None,
+    decode_noise_scale: Optional[Sequence[float]] = None,
+    output_type: str = "tensor",  # "latent" | "tensor"
+    max_sequence_length: int = 128,
+    use_pcg_rng: bool = True,
+    attn_impl: str = "auto",
+    vae_tiling: Optional[V.TilingConfig] = None,
+    use_vae_tiling: bool = False,
+    decode_fn=None,
+):
+    """End-to-end text-to-video generation (t2v_pipeline.rs:627-1073)."""
+    cfg = pipe.config
+    inf = cfg.inference
+    tcfg = cfg.transformer
+    vcfg = cfg.vae
+
+    if isinstance(prompt, str):
+        prompt = [prompt]
+    if isinstance(negative_prompt, str):
+        negative_prompt = [negative_prompt]
+
+    check_inputs(height, width, prompt, prompt_embeds)
+
+    num_inference_steps = num_inference_steps or inf.num_inference_steps
+    guidance_scale = inf.guidance_scale if guidance_scale is None else guidance_scale
+    guidance_rescale = (
+        inf.rescaling_scale if guidance_rescale is None else guidance_rescale
+    )
+    stg_scale = inf.stg_scale if stg_scale is None else stg_scale
+    if skip_block_list is None:
+        skip_block_list = list(inf.skip_block_list)
+    if sigmas is None and timesteps is None and inf.timesteps is not None:
+        sigmas = list(inf.timesteps)  # distilled presets store sigmas here
+    if decode_timestep is None and inf.decode_timestep is not None:
+        decode_timestep = list(inf.decode_timestep)
+    if decode_noise_scale is None and inf.decode_noise_scale is not None:
+        decode_noise_scale = list(inf.decode_noise_scale)
+
+    do_cfg = guidance_scale > 1.0
+    do_stg = stg_scale > 0.0
+    num_conds = 1 + int(do_cfg) + int(do_stg)
+
+    batch = len(prompt) if prompt is not None else int(prompt_embeds.shape[0])
+    eff_batch = batch * num_videos_per_prompt
+
+    # ---- prompt embeddings -------------------------------------------------
+    if prompt_embeds is None:
+        p_emb, p_mask = pipe.encode_prompt(prompt, max_sequence_length)
+    else:
+        p_emb = jnp.asarray(prompt_embeds)
+        p_mask = jnp.asarray(prompt_attention_mask, jnp.float32)
+    if num_videos_per_prompt > 1:
+        p_emb = jnp.repeat(p_emb, num_videos_per_prompt, axis=0)
+        p_mask = jnp.repeat(p_mask, num_videos_per_prompt, axis=0)
+
+    if do_cfg:
+        if negative_prompt_embeds is None:
+            neg = negative_prompt if negative_prompt is not None else [""] * batch
+            if len(neg) == 1 and batch > 1:
+                neg = neg * batch
+            n_emb, n_mask = pipe.encode_prompt(neg, max_sequence_length)
+        else:
+            n_emb = jnp.asarray(negative_prompt_embeds)
+            n_mask = jnp.asarray(negative_prompt_attention_mask, jnp.float32)
+        if num_videos_per_prompt > 1:
+            n_emb = jnp.repeat(n_emb, num_videos_per_prompt, axis=0)
+            n_mask = jnp.repeat(n_mask, num_videos_per_prompt, axis=0)
+    else:
+        n_emb = n_mask = None
+
+    # batched guidance rows: [uncond; cond; perturbed]
+    rows_emb = []
+    rows_mask = []
+    if do_cfg:
+        rows_emb.append(n_emb)
+        rows_mask.append(n_mask)
+    rows_emb.append(p_emb)
+    rows_mask.append(p_mask)
+    if do_stg:
+        rows_emb.append(p_emb)
+        rows_mask.append(p_mask)
+    enc_states = jnp.concatenate(rows_emb, axis=0)
+    enc_mask = jnp.concatenate(rows_mask, axis=0)
+
+    # ---- latents ------------------------------------------------------------
+    latent_num_frames = (num_frames - 1) // vcfg.temporal_compression_ratio + 1
+    latent_height = height // vcfg.spatial_compression_ratio
+    latent_width = width // vcfg.spatial_compression_ratio
+    seq_len = latent_num_frames * latent_height * latent_width
+
+    if latents is None:
+        shape = (eff_batch, tcfg.in_channels, latent_num_frames, latent_height,
+                 latent_width)
+        if use_pcg_rng:
+            lat5 = jnp.asarray(Pcg32(seed, 0).randn(shape), jnp.float32)
+        else:
+            lat5 = jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+        latents = pack_latents(lat5, tcfg.patch_size, tcfg.patch_size_t)
+    else:
+        latents = jnp.asarray(latents, jnp.float32)
+        if latents.ndim == 5:
+            latents = pack_latents(latents, tcfg.patch_size, tcfg.patch_size_t)
+
+    # ---- schedule -----------------------------------------------------------
+    has_custom = sigmas is not None or timesteps is not None
+    if sigmas is None and timesteps is None:
+        sigmas = np.linspace(
+            1.0, 1.0 / num_inference_steps, num_inference_steps
+        ).astype(np.float32).tolist()
+    mu = 0.0 if has_custom else S.calculate_shift(
+        seq_len,
+        cfg.scheduler.base_image_seq_len or 256,
+        cfg.scheduler.max_image_seq_len or 4096,
+        cfg.scheduler.base_shift or 0.5,
+        cfg.scheduler.max_shift or 1.15,
+    )
+    schedule = S.set_timesteps(
+        cfg.scheduler,
+        num_inference_steps=num_inference_steps,
+        sigmas=sigmas,
+        timesteps=timesteps,
+        mu=mu,
+    )
+
+    # ---- RoPE tables (once) --------------------------------------------------
+    coords = build_video_coords(
+        latent_num_frames, latent_height, latent_width, frame_rate,
+        vcfg.temporal_compression_ratio, vcfg.spatial_compression_ratio,
+    )
+    grid = jnp.asarray(coords)[None] / jnp.asarray(
+        [tcfg.rope_base_num_frames, tcfg.rope_base_height, tcfg.rope_base_width],
+        jnp.float32,
+    )
+    rope_cos, rope_sin = rope_cos_sin(grid, tcfg.inner_dim, tcfg.rope_theta)
+
+    # ---- STG mask -------------------------------------------------------------
+    skip_mask = np.zeros((tcfg.num_layers, num_conds * eff_batch), np.float32)
+    if do_stg and skip_block_list:
+        for idx in skip_block_list:
+            if 0 <= idx < tcfg.num_layers:
+                skip_mask[idx, (num_conds - 1) * eff_batch :] = 1.0
+    # permanent skip for distilled models without STG (t2v_pipeline.rs:691-697)
+    if not do_stg and skip_block_list:
+        for idx in skip_block_list:
+            if 0 <= idx < tcfg.num_layers:
+                skip_mask[idx, :] = 1.0
+
+    use_skip = skip_mask.any()
+
+    # ---- denoise ---------------------------------------------------------------
+    final = denoise_loop(
+        pipe.transformer_params,
+        tcfg,
+        latents,
+        enc_states,
+        enc_mask,
+        schedule.sigmas_jnp,
+        schedule.timesteps_jnp,
+        rope_cos,
+        rope_sin,
+        jnp.float32(guidance_scale),
+        jnp.float32(guidance_rescale if do_cfg else 0.0),
+        jnp.float32(stg_scale),
+        jnp.asarray(skip_mask),
+        jax.random.PRNGKey(seed + 1),
+        num_conds=num_conds,
+        stochastic=cfg.scheduler.stochastic_sampling or inf.stochastic_sampling,
+        attn_impl=attn_impl,
+        use_skip=bool(use_skip),
+    )
+
+    if output_type == "latent":
+        return final
+
+    # ---- decode ------------------------------------------------------------------
+    if pipe.vae_params is None:
+        raise ValueError("pipeline has no VAE params; use output_type='latent'")
+
+    lat5 = unpack_latents(
+        final, latent_num_frames, latent_height, latent_width,
+        tcfg.patch_size, tcfg.patch_size_t,
+    )
+    lat5 = V.denormalize_latents(
+        lat5,
+        pipe.vae_params["latents_mean"],
+        pipe.vae_params["latents_std"],
+        vcfg.scaling_factor,
+    )
+
+    temb = None
+    if vcfg.timestep_conditioning:
+        dt = list(decode_timestep or [0.0])
+        if len(dt) == 1:
+            dt = dt * eff_batch
+        dns = list(decode_noise_scale or dt)
+        if len(dns) == 1:
+            dns = dns * eff_batch
+        temb = jnp.asarray(dt, jnp.float32)
+        scale = jnp.asarray(dns, jnp.float32).reshape(eff_batch, 1, 1, 1, 1)
+        noise = jax.random.normal(jax.random.PRNGKey(seed + 2), lat5.shape, lat5.dtype)
+        lat5 = (1.0 - scale) * lat5 + scale * noise
+
+    video = V.decode(
+        pipe.vae_params, vcfg, lat5, temb,
+        tiling=vae_tiling,
+        use_tiling=use_vae_tiling,
+        use_framewise_decoding=use_vae_tiling,
+        decode_fn=decode_fn,
+    )
+    return postprocess_video(video)

@@ -68,21 +68,27 @@ class LtxTransformerConfig:
 # ---------------------------------------------------------------------------
 
 
-def _linear(key, d_in, d_out, dtype, bias=True, std=0.02):
-    wkey, _ = jax.random.split(key)
-    p = {"weight": (jax.random.normal(wkey, (d_in, d_out)) * std).astype(dtype)}
-    if bias:
-        p["bias"] = jnp.zeros((d_out,), dtype)
-    return p
+def _np_rng_from_key(key) -> np.random.Generator:
+    # host-side init: one jax.random call per tensor would trigger one XLA
+    # compile per distinct shape (minutes on a remote-compile backend)
+    seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+    return np.random.default_rng(seed)
 
 
 def init_params(key, cfg: LtxTransformerConfig, dtype=jnp.bfloat16):
-    """Random-init parameter pytree (testing / shape contract)."""
+    """Random-init parameter pytree (testing / shape contract); NumPy host-side."""
     d = cfg.inner_dim
-    keys = iter(jax.random.split(key, 16 * cfg.num_layers + 16))
+    rng = _np_rng_from_key(key)
 
-    def lin(d_in, d_out, bias=True):
-        return _linear(next(keys), d_in, d_out, dtype, bias)
+    def lin(d_in, d_out, bias=True, std=0.02):
+        p = {
+            "weight": jnp.asarray(
+                rng.normal(size=(d_in, d_out)).astype(np.float32) * std, dtype
+            )
+        }
+        if bias:
+            p["bias"] = jnp.zeros((d_out,), dtype)
+        return p
 
     def attn_params(kv_dim):
         return {
@@ -99,9 +105,9 @@ def init_params(key, cfg: LtxTransformerConfig, dtype=jnp.bfloat16):
             "attn1": attn_params(d),
             "attn2": attn_params(d),
             "ff": {"net_0_proj": lin(d, 4 * d), "net_2": lin(4 * d, d)},
-            "scale_shift_table": (
-                jax.random.normal(next(keys), (6, d)) / math.sqrt(d)
-            ).astype(dtype),
+            "scale_shift_table": jnp.asarray(
+                rng.normal(size=(6, d)).astype(np.float32) / math.sqrt(d), dtype
+            ),
         }
 
     blocks = [block_params() for _ in range(cfg.num_layers)]
@@ -123,9 +129,9 @@ def init_params(key, cfg: LtxTransformerConfig, dtype=jnp.bfloat16):
             "linear_2": lin(d, d),
         },
         "blocks": stacked,
-        "scale_shift_table": (
-            jax.random.normal(next(keys), (2, d)) / math.sqrt(d)
-        ).astype(dtype),
+        "scale_shift_table": jnp.asarray(
+            rng.normal(size=(2, d)).astype(np.float32) / math.sqrt(d), dtype
+        ),
         "proj_out": lin(d, cfg.out_channels or cfg.in_channels),
     }
 

@@ -9,48 +9,55 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .vae import LtxVaeConfig, _DOWNSAMPLE_STRIDES
 
 
-def _conv_p(key, c_in, c_out, k, dtype, std=0.05):
+def _conv_p(rng, c_in, c_out, k, dtype, std=0.05):
     kk = (k, k, k) if isinstance(k, int) else k
+    # host-side NumPy init: per-shape jax.random calls would each compile
     return {
-        "weight": (jax.random.normal(key, (c_out, c_in, *kk)) * std).astype(dtype),
+        "weight": jnp.asarray(
+            rng.normal(size=(c_out, c_in, *kk)).astype(np.float32) * std, dtype
+        ),
         "bias": jnp.zeros((c_out,), dtype),
     }
 
 
-def _lin_p(key, d_in, d_out, dtype, std=0.02):
+def _lin_p(rng, d_in, d_out, dtype, std=0.02):
     return {
-        "weight": (jax.random.normal(key, (d_in, d_out)) * std).astype(dtype),
+        "weight": jnp.asarray(
+            rng.normal(size=(d_in, d_out)).astype(np.float32) * std, dtype
+        ),
         "bias": jnp.zeros((d_out,), dtype),
     }
 
 
-def _te_p(keys, dim, dtype):
+def _te_p(rng, dim, dtype):
     return {
-        "linear_1": _lin_p(next(keys), 256, dim, dtype),
-        "linear_2": _lin_p(next(keys), dim, dim, dtype),
+        "linear_1": _lin_p(rng, 256, dim, dtype),
+        "linear_2": _lin_p(rng, dim, dim, dtype),
     }
 
 
-def _resnet_p(keys, c_in, c_out, dtype, timestep_conditioning=False):
+def _resnet_p(rng, c_in, c_out, dtype, timestep_conditioning=False):
     p = {
-        "conv1": _conv_p(next(keys), c_in, c_out, 3, dtype),
-        "conv2": _conv_p(next(keys), c_out, c_out, 3, dtype),
+        "conv1": _conv_p(rng, c_in, c_out, 3, dtype),
+        "conv2": _conv_p(rng, c_out, c_out, 3, dtype),
     }
     if c_in != c_out:
-        p["conv_shortcut"] = _conv_p(next(keys), c_in, c_out, 1, dtype)
+        p["conv_shortcut"] = _conv_p(rng, c_in, c_out, 1, dtype)
     if timestep_conditioning:
-        p["scale_shift_table"] = (
-            jax.random.normal(next(keys), (4, c_in)) / (c_in**0.5)
-        ).astype(dtype)
+        p["scale_shift_table"] = jnp.asarray(
+            rng.normal(size=(4, c_in)).astype(np.float32) / (c_in**0.5), dtype
+        )
     return p
 
 
 def init_vae_params(key, cfg: LtxVaeConfig, dtype=jnp.bfloat16):
-    keys = iter(jax.random.split(key, 4096))
+    seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+    keys = np.random.default_rng(seed)
 
     # encoder
     boc = cfg.block_out_channels
@@ -67,11 +74,11 @@ def init_vae_params(key, cfg: LtxVaeConfig, dtype=jnp.bfloat16):
             stride = _DOWNSAMPLE_STRIDES[cfg.downsample_types[i].lower()]
             sp = stride[0] * stride[1] * stride[2]
             blk["downsamplers"] = [
-                {"conv": _conv_p(next(keys), boc[i], boc[i + 1] // sp, 3, dtype)}
+                {"conv": _conv_p(keys, boc[i], boc[i + 1] // sp, 3, dtype)}
             ]
         down_blocks.append(blk)
     encoder = {
-        "conv_in": _conv_p(next(keys), p_in, boc[0], 3, dtype),
+        "conv_in": _conv_p(keys, p_in, boc[0], 3, dtype),
         "down_blocks": down_blocks,
         "mid_block": {
             "resnets": [
@@ -79,7 +86,7 @@ def init_vae_params(key, cfg: LtxVaeConfig, dtype=jnp.bfloat16):
                 for _ in range(max(cfg.layers_per_block[-1] - 1, 0))
             ]
         },
-        "conv_out": _conv_p(next(keys), boc[-1], cfg.latent_channels + 1, 3, dtype),
+        "conv_out": _conv_p(keys, boc[-1], cfg.latent_channels + 1, 3, dtype),
     }
 
     # decoder
@@ -105,7 +112,7 @@ def init_vae_params(key, cfg: LtxVaeConfig, dtype=jnp.bfloat16):
         sp = stride[0] * stride[1] * stride[2]
         blk = {
             "upsamplers": [
-                {"conv": _conv_p(next(keys), out_ch * upf[i], out_ch * sp, 3, dtype)}
+                {"conv": _conv_p(keys, out_ch * upf[i], out_ch * sp, 3, dtype)}
             ],
             "resnets": [
                 _resnet_p(keys, out_ch, out_ch, dtype, tc) for _ in range(lpb[i + 1])
@@ -117,18 +124,19 @@ def init_vae_params(key, cfg: LtxVaeConfig, dtype=jnp.bfloat16):
         final_ch = out_ch
 
     decoder = {
-        "conv_in": _conv_p(next(keys), cfg.latent_channels, dboc[0], 3, dtype),
+        "conv_in": _conv_p(keys, cfg.latent_channels, dboc[0], 3, dtype),
         "mid_block": mid,
         "up_blocks": up_blocks,
         "conv_out": _conv_p(
-            next(keys), final_ch, cfg.out_channels * cfg.patch_size**2, 3, dtype
+            keys, final_ch, cfg.out_channels * cfg.patch_size**2, 3, dtype
         ),
     }
     if tc:
         decoder["time_embedder"] = _te_p(keys, final_ch * 2, dtype)
-        decoder["scale_shift_table"] = (
-            jax.random.normal(next(keys), (2, final_ch)) / (final_ch**0.5)
-        ).astype(dtype)
+        decoder["scale_shift_table"] = jnp.asarray(
+            keys.normal(size=(2, final_ch)).astype(np.float32) / (final_ch**0.5),
+            dtype,
+        )
         decoder["timestep_scale_multiplier"] = jnp.asarray(1000.0, jnp.float32)
 
     return {
