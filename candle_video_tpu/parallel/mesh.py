@@ -1,0 +1,117 @@
+"""Device-mesh scale-out: tensor-parallel DiT over ICI.
+
+The reference declares an NCCL feature but never uses it (Cargo.toml:57,
+zero call sites — SURVEY.md §2.3); multi-chip is this framework's new
+capability.  Design:
+
+- one ``Mesh(('dp', 'tp'))`` covers both models: the 2B runs replicated
+  (tp=1) on one chip, the 13B (48 layers, 32 heads x 128) shards attention
+  heads and the FF hidden dim over ``tp``,
+- weights are annotated with NamedShardings and placed once; GSPMD inserts
+  the collectives (all-gather for the full-inner-dim QK-RMSNorm/RoPE,
+  reduce-scatter after to_out/net_2),
+- the batch axis (CFG rows x videos) shards over ``dp``.
+
+Validated on a virtual 8-device CPU mesh in tests and via
+``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    need = dp * tp
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices for dp={dp}, tp={tp}; have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def transformer_shardings(mesh: Mesh):
+    """NamedSharding pytree matching the stacked-block transformer params.
+
+    Layout (weights are [in, out]; blocks carry a leading layer axis L):
+    - to_q/to_k/to_v: output (head) dim over tp  -> [L, D, D@tp]
+    - to_out:        input (head) dim over tp    -> [L, D@tp, D]
+    - ff net_0_proj: hidden dim over tp          -> [L, D, 4D@tp]
+    - ff net_2:      hidden dim over tp          -> [L, 4D@tp, D]
+    - everything else replicated.
+    """
+
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    col = {"weight": ns(None, None, "tp"), "bias": ns(None, "tp")}
+    row = {"weight": ns(None, "tp", None), "bias": ns(None, None)}
+    rep_l = {"weight": ns(None, None)}  # [L, D] norms
+    rep_lin = {"weight": ns(None, None), "bias": ns(None)}
+
+    def attn():
+        return {
+            "norm_q": dict(rep_l),
+            "norm_k": dict(rep_l),
+            "to_q": dict(col),
+            "to_k": dict(col),
+            "to_v": dict(col),
+            "to_out": dict(row),
+        }
+
+    blocks = {
+        "attn1": attn(),
+        "attn2": attn(),
+        "ff": {"net_0_proj": dict(col), "net_2": dict(row)},
+        "scale_shift_table": ns(None, None, None),
+    }
+
+    return {
+        "proj_in": dict(rep_lin),
+        "time_embed": {
+            "emb": {
+                "timestep_embedder": {
+                    "linear_1": dict(rep_lin),
+                    "linear_2": dict(rep_lin),
+                }
+            },
+            "linear": dict(rep_lin),
+        },
+        "caption_projection": {
+            "linear_1": dict(rep_lin),
+            "linear_2": dict(rep_lin),
+        },
+        "blocks": blocks,
+        "scale_shift_table": ns(None, None),
+        "proj_out": dict(rep_lin),
+    }
+
+
+def _prune_missing(shardings, params):
+    """Drop sharding entries whose param is absent (e.g. bias-less linears)."""
+    if isinstance(params, dict):
+        return {
+            k: _prune_missing(shardings[k], v) for k, v in params.items()
+        }
+    return shardings
+
+
+def shard_transformer_params(params, mesh: Mesh):
+    """Place transformer params onto the mesh with TP shardings."""
+    sh = _prune_missing(transformer_shardings(mesh), params)
+    return jax.device_put(params, sh)
+
+
+def shard_batch(x, mesh: Mesh, axis: int = 0):
+    """Shard a batched array over the dp axis."""
+    spec = [None] * x.ndim
+    spec[axis] = "dp"
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def replicate(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))
