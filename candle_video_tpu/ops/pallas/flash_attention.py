@@ -107,8 +107,8 @@ def flash_attention(
     *,
     scale: float,
     bias=None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool | None = None,
 ):
     """q [B,S,H,D], k/v [B,K,H,D], optional bias [B,1,1,K] -> [B,S,H,D]."""
