@@ -191,6 +191,55 @@ def denoise_loop(
     return final
 
 
+def denoise_stepwise(
+    pipe,
+    transformer_params,
+    tcfg: TF.LtxTransformerConfig,
+    latents,
+    encoder_hidden_states,
+    encoder_attention_mask,
+    schedule: S.Schedule,
+    rope_cos,
+    rope_sin,
+    guidance_scale: float,
+    guidance_rescale: float,
+    stg_scale: float,
+    skip_layer_mask,
+    noise_key,
+    num_conds: int = 1,
+    stochastic: bool = False,
+    attn_impl: str = "auto",
+    use_skip: bool = False,
+    step_callback=None,
+):
+    """Python-loop variant: one jitted step per iteration, checking the
+    pipeline's cooperative ``interrupt`` flag and invoking ``step_callback``
+    between steps — the reference's per-step loop semantics
+    (t2v_pipeline.rs:860-994).  Same numerics as ``denoise_loop``."""
+    lat = latents.astype(jnp.float32)
+    key = noise_key
+    n = schedule.timesteps.shape[0]
+    for i in range(n):
+        if pipe is not None and pipe.interrupt:
+            break
+        one = denoise_loop(
+            transformer_params, tcfg, lat,
+            encoder_hidden_states, encoder_attention_mask,
+            jnp.asarray([schedule.sigmas[i], schedule.sigmas[i + 1]], jnp.float32),
+            jnp.asarray([schedule.timesteps[i]], jnp.float32),
+            rope_cos, rope_sin,
+            jnp.float32(guidance_scale), jnp.float32(guidance_rescale),
+            jnp.float32(stg_scale), skip_layer_mask, key,
+            num_conds=num_conds, stochastic=stochastic,
+            attn_impl=attn_impl, use_skip=use_skip,
+        )
+        key, _ = jax.random.split(key)
+        lat = one
+        if step_callback is not None:
+            step_callback(i, n, lat)
+    return lat
+
+
 # ---------------------------------------------------------------------------
 # the pipeline facade
 # ---------------------------------------------------------------------------
@@ -208,19 +257,30 @@ class LtxPipeline:
     t5_config: Optional[T5.T5Config] = None
     tokenizer: Any = None  # candle_video_tpu.utils.tokenizer.T5Tokenizer
 
-    # STG perturbation list, applied per-call (t2v_pipeline.rs:691-697)
+    # cooperative interrupt checked per step in step-wise mode
+    # (t2v_pipeline.rs:861-863)
     interrupt: bool = False
+    # prompt-embedding cache (text_encoder.rs EmbeddingCache)
+    embedding_cache_size: int = 16
+    _embed_cache: dict = dataclasses.field(default_factory=dict)
 
     def encode_prompt(self, prompts: Sequence[str], max_sequence_length: int = 128):
         if self.tokenizer is None or self.t5_params is None:
             raise ValueError("pipeline has no tokenizer/text encoder")
+        key = (tuple(prompts), max_sequence_length)
+        if key in self._embed_cache:
+            return self._embed_cache[key]
         ids, mask = self.tokenizer.encode_batch(prompts, max_sequence_length)
         pos_bias = T5.position_bias(self.t5_params, self.t5_config, ids.shape[1])
         embeds = T5.forward(
             self.t5_params, self.t5_config, jnp.asarray(ids),
             attention_mask=jnp.asarray(mask), pos_bias=pos_bias,
         )
-        return embeds, jnp.asarray(mask, jnp.float32)
+        result = (embeds, jnp.asarray(mask, jnp.float32))
+        if len(self._embed_cache) >= self.embedding_cache_size:
+            self._embed_cache.pop(next(iter(self._embed_cache)))
+        self._embed_cache[key] = result
+        return result
 
     def __call__(self, **kwargs):
         return generate(self, **kwargs)
@@ -267,6 +327,7 @@ def generate(
     vae_tiling: Optional[V.TilingConfig] = None,
     use_vae_tiling: bool = False,
     decode_fn=None,
+    step_callback=None,
 ):
     """End-to-end text-to-video generation (t2v_pipeline.rs:627-1073)."""
     cfg = pipe.config
@@ -408,26 +469,37 @@ def generate(
     use_skip = skip_mask.any()
 
     # ---- denoise ---------------------------------------------------------------
-    final = denoise_loop(
-        pipe.transformer_params,
-        tcfg,
-        latents,
-        enc_states,
-        enc_mask,
-        schedule.sigmas_jnp,
-        schedule.timesteps_jnp,
-        rope_cos,
-        rope_sin,
-        jnp.float32(guidance_scale),
-        jnp.float32(guidance_rescale if do_cfg else 0.0),
-        jnp.float32(stg_scale),
-        jnp.asarray(skip_mask),
-        jax.random.PRNGKey(seed + 1),
-        num_conds=num_conds,
-        stochastic=cfg.scheduler.stochastic_sampling or inf.stochastic_sampling,
-        attn_impl=attn_impl,
-        use_skip=bool(use_skip),
-    )
+    stochastic = cfg.scheduler.stochastic_sampling or inf.stochastic_sampling
+    if step_callback is not None or pipe.interrupt:
+        final = denoise_stepwise(
+            pipe, pipe.transformer_params, tcfg, latents, enc_states, enc_mask,
+            schedule, rope_cos, rope_sin,
+            guidance_scale, guidance_rescale if do_cfg else 0.0, stg_scale,
+            jnp.asarray(skip_mask), jax.random.PRNGKey(seed + 1),
+            num_conds=num_conds, stochastic=stochastic, attn_impl=attn_impl,
+            use_skip=bool(use_skip), step_callback=step_callback,
+        )
+    else:
+        final = denoise_loop(
+            pipe.transformer_params,
+            tcfg,
+            latents,
+            enc_states,
+            enc_mask,
+            schedule.sigmas_jnp,
+            schedule.timesteps_jnp,
+            rope_cos,
+            rope_sin,
+            jnp.float32(guidance_scale),
+            jnp.float32(guidance_rescale if do_cfg else 0.0),
+            jnp.float32(stg_scale),
+            jnp.asarray(skip_mask),
+            jax.random.PRNGKey(seed + 1),
+            num_conds=num_conds,
+            stochastic=stochastic,
+            attn_impl=attn_impl,
+            use_skip=bool(use_skip),
+        )
 
     if output_type == "latent":
         return final

@@ -1,0 +1,90 @@
+"""Tokenizer wrapper, video IO, and observability tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from candle_video_tpu.utils.tokenizer import MockTokenizer
+from candle_video_tpu.utils import video_io
+from candle_video_tpu.utils.debug import StageTimer, dump_tensor, log
+
+
+def test_mock_tokenizer_shapes():
+    tok = MockTokenizer(vocab_size=100, model_max_length=16)
+    ids, mask = tok.encode_batch(["hello world", "a longer prompt with many words"])
+    assert ids.shape == mask.shape == (2, 16)
+    assert mask[0].sum() == 3  # 2 words + EOS
+    assert (ids < 100).all() and (ids >= 0).all()
+    # deterministic? hash() is salted per-process; within-process it is stable
+    ids2, _ = tok.encode_batch(["hello world", "a longer prompt with many words"])
+    np.testing.assert_array_equal(ids[0], ids2[0])
+
+
+def test_mock_tokenizer_truncation():
+    tok = MockTokenizer(model_max_length=4)
+    ids, mask = tok.encode_batch(["one two three four five six"])
+    assert mask[0].sum() == 4
+
+
+def test_to_uint8_frames():
+    video = np.zeros((1, 3, 2, 4, 4), np.float32)
+    video[0, 0] = 255.0
+    frames = video_io.to_uint8_frames(video)
+    assert frames.shape == (2, 4, 4, 3)
+    assert frames.dtype == np.uint8
+    assert (frames[..., 0] == 255).all()
+    assert (frames[..., 1] == 0).all()
+
+
+def test_save_frames_and_gif(tmp_path):
+    rng = np.random.default_rng(0)
+    video = rng.uniform(0, 255, size=(1, 3, 3, 8, 8)).astype(np.float32)
+    paths = video_io.save_frames_png(video, str(tmp_path / "frames"))
+    assert len(paths) == 3
+    assert all(os.path.exists(p) for p in paths)
+
+    gif = video_io.save_gif(video, str(tmp_path / "v.gif"), fps=10)
+    assert os.path.exists(gif)
+
+    # PNG round-trip fidelity
+    from PIL import Image
+
+    frame0 = np.asarray(Image.open(paths[0]))
+    np.testing.assert_array_equal(
+        frame0, video_io.to_uint8_frames(video)[0]
+    )
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    rep = t.report()
+    assert "a" in rep and "b" in rep and "_shares" in rep
+
+
+def test_dump_tensor_env_gated(tmp_path, monkeypatch):
+    # disabled: no writes
+    monkeypatch.delenv("CVT_DUMP_TENSORS", raising=False)
+    dump_tensor("x", np.ones(3))
+    assert not list(tmp_path.iterdir())
+
+    monkeypatch.setenv("CVT_DUMP_TENSORS", str(tmp_path))
+    dump_tensor("x", np.ones(3), step=2)
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1 and "x_step2" in files[0].name
+
+
+def test_log_gated(monkeypatch, capsys):
+    monkeypatch.setenv("CVT_LOG", "off")
+    log("stage", "hidden")
+    assert capsys.readouterr().err == ""
+    monkeypatch.setenv("CVT_LOG", "info")
+    log("stage", "visible", foo=1)
+    err = capsys.readouterr().err
+    rec = json.loads(err)
+    assert rec["stage"] == "stage" and rec["foo"] == 1
