@@ -1,0 +1,41 @@
+"""Model-family registry.
+
+The reference keeps a second (orphaned, never-compiled) model family in-tree
+— Stable Video Diffusion (src/models/svd/, SURVEY.md §2.4).  This registry
+keeps the framework open to additional families the way the reference's
+module tree intended; ``ltx_video`` is the live family, ``svd`` is a declared
+placeholder to be filled in a later milestone.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def available() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def build_pipeline(name: str, **kwargs):
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown model family '{name}'; available: {available()}"
+        )
+    return _REGISTRY[name](**kwargs)
+
+
+@register("ltx_video")
+def _build_ltx(**kwargs):
+    from .ltx_video.pipeline import LtxPipeline
+
+    return LtxPipeline(**kwargs)
