@@ -1,10 +1,10 @@
 """Model-family registry.
 
 The reference keeps a second (orphaned, never-compiled) model family in-tree
-— Stable Video Diffusion (src/models/svd/, SURVEY.md §2.4).  This registry
-keeps the framework open to additional families the way the reference's
-module tree intended; ``ltx_video`` is the live family, ``svd`` is a declared
-placeholder to be filled in a later milestone.
+— Stable Video Diffusion (src/models/svd/, SURVEY.md §2.4).  Here BOTH
+families are live: ``ltx_video`` (text-to-video) and ``svd``
+(image-to-video) — this framework compiles and tests the family the
+reference left dead.
 """
 
 from __future__ import annotations
@@ -39,3 +39,10 @@ def _build_ltx(**kwargs):
     from .ltx_video.pipeline import LtxPipeline
 
     return LtxPipeline(**kwargs)
+
+
+@register("svd")
+def _build_svd(**kwargs):
+    from .svd.pipeline import SvdPipeline
+
+    return SvdPipeline(**kwargs)
