@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "0.9.8-2b-distilled | 0.9.8-13b-dev | 0.9.8-13b-distilled")
     p.add_argument("--weights-path", type=str, default=None,
                    help="diffusers-style model dir OR unified .safetensors file")
+    p.add_argument("--from-hub", action="store_true",
+                   help="resolve the version's unified checkpoint from the "
+                        "HuggingFace hub (examples/ltx-video/main.rs hub path)")
     p.add_argument("--t5-gguf", type=str, default=None,
                    help="GGUF file for the quantized T5-XXL encoder")
     p.add_argument("--t5-dir", type=str, default=None,
@@ -93,6 +96,11 @@ def load_pipeline(args):
 
     cfg = get_config_by_version(args.version)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.from_hub and not args.weights_path:
+        from .utils.hub import resolve_weights
+
+        args.weights_path = resolve_weights(args.version)
 
     tparams = vparams = None
     if args.weights_path:
