@@ -107,7 +107,7 @@ def flash_attention(
     *,
     scale: float,
     bias=None,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: int = 1024,
     interpret: bool | None = None,
 ):
