@@ -48,6 +48,18 @@ def list_tensor_names(path: str) -> list[str]:
         return list(f.keys())
 
 
+def get_tensor_info(path: str) -> Dict[str, tuple]:
+    """name -> (shape, dtype) without loading data (loader.rs:508-556)."""
+    from safetensors import safe_open
+
+    out: Dict[str, tuple] = {}
+    with safe_open(path, framework="numpy") as f:
+        for key in f.keys():
+            sl = f.get_slice(key)
+            out[key] = (tuple(sl.get_shape()), sl.get_dtype())
+    return out
+
+
 def load_sharded(directory: str, index_name: str = "model.safetensors.index.json"):
     """Sharded checkpoint dir with index.json (loader.rs:341-396)."""
     index_path = os.path.join(directory, index_name)

@@ -57,7 +57,7 @@ def _fa_kernel(
     s = s * scale
 
     if bias_ref is not None:
-        s = s + bias_ref[0][None, :].astype(jnp.float32)
+        s = s + bias_ref[0, 0][None, :].astype(jnp.float32)
 
     # mask padded key columns
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -145,11 +145,13 @@ def flash_attention(
         num_k_blocks=nk,
     )
     if bias is not None:
-        bias2 = _pad_seq(bias.astype(jnp.float32).reshape(b, kv_len), 1, block_k)
+        # [B, 1, K_pad] so the block's trailing dims are (1, block_k) with the
+        # middle dim full-size — required by TPU tiling rules for any B
+        bias3 = _pad_seq(bias.astype(jnp.float32).reshape(b, 1, kv_len), 2, block_k)
         in_specs.append(
-            pl.BlockSpec((1, block_k), lambda bh, qi, ki, _h=h: (bh // _h, ki))
+            pl.BlockSpec((1, 1, block_k), lambda bh, qi, ki, _h=h: (bh // _h, 0, ki))
         )
-        args.append(bias2)
+        args.append(bias3)
 
         def body(q_r, k_r, v_r, b_r, o_r, m_s, l_s, a_s):
             kernel(q_r, k_r, v_r, b_r, o_r, m_s, l_s, a_s)
