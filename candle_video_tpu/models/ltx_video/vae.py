@@ -595,12 +595,27 @@ def decode(
     tiling: Optional[TilingConfig] = None,
     use_tiling: bool = True,
     use_framewise_decoding: bool = True,
+    use_slicing: bool = False,
     decode_fn=None,
 ):
     """Facade decode with the reference's dispatch order (vae.rs:2037-2066):
-    temporal tiling if T exceeds the latent frame tile, else spatial tiling
-    if H/W exceed the latent tile, else direct."""
+    batch slicing (vae.rs:2109-2121), then temporal tiling if T exceeds the
+    latent frame tile, else spatial tiling if H/W exceed the latent tile,
+    else direct."""
     tiling = tiling or TilingConfig()
+    if use_slicing and z.shape[0] > 1:
+        outs = []
+        for i in range(z.shape[0]):
+            ti = None if temb is None else temb[i : i + 1]
+            outs.append(
+                decode(
+                    params, cfg, z[i : i + 1], ti, tiling=tiling,
+                    use_tiling=use_tiling,
+                    use_framewise_decoding=use_framewise_decoding,
+                    use_slicing=False, decode_fn=decode_fn,
+                )
+            )
+        return jnp.concatenate(outs, axis=0)
     _, _, t, h, w = z.shape
     sc = cfg.spatial_compression_ratio
     tc = cfg.temporal_compression_ratio

@@ -393,3 +393,15 @@ def test_normalize_formula(rng):
     )
     expected = (x - mean.reshape(1, 2, 1, 1, 1)) * 3.0 / std.reshape(1, 2, 1, 1, 1)
     np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_batch_slicing_matches_full(tiny_vae, rng):
+    """use_slicing decodes per-sample and concatenates (vae.rs:2109-2121)."""
+    _, _, params, cfg = tiny_vae
+    z = rng.normal(size=(2, 4, 2, 2, 2)).astype(np.float32)
+    temb = jnp.asarray([0.05, 0.10], jnp.float32)
+    full = V.decode(params, cfg, jnp.asarray(z), temb, use_tiling=False,
+                    use_framewise_decoding=False)
+    sliced = V.decode(params, cfg, jnp.asarray(z), temb, use_tiling=False,
+                      use_framewise_decoding=False, use_slicing=True)
+    np.testing.assert_allclose(np.asarray(sliced), np.asarray(full), atol=1e-5)
