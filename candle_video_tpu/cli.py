@@ -11,7 +11,6 @@ Run: python -m candle_video_tpu.cli --help
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time

@@ -7,7 +7,7 @@ each version bundles inference + transformer + VAE + scheduler configs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 from .scheduler import FlowMatchEulerSchedulerConfig
 from .transformer import LtxTransformerConfig

@@ -15,11 +15,10 @@ tile decodes are jitted once per tile shape.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...ops.activations import silu
 from ...ops.conv3d import causal_conv3d

@@ -13,11 +13,8 @@ Tensors ride a fused [B*T, C, H, W] layout; the temporal mixers reshape to
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...ops.activations import silu
 from ...ops.attention import attention as sdpa

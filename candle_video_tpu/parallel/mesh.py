@@ -18,8 +18,6 @@ Validated on a virtual 8-device CPU mesh in tests and via
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -8,7 +8,6 @@ local paths with a clear error).
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 # version -> (repo_id, unified filename or None for diffusers-layout dirs)
