@@ -162,6 +162,18 @@ def main(argv=None) -> int:
 
     pipe = load_pipeline(args)
 
+    mesh_ctx = None
+    if args.mesh:
+        from .parallel import make_mesh, shard_transformer_params
+
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        mesh_ctx = make_mesh(dp=int(spec.get("dp", 1)), tp=int(spec.get("tp", 1)))
+        print(f"mesh: dp={spec.get('dp', 1)} tp={spec.get('tp', 1)}")
+        with mesh_ctx:
+            pipe.transformer_params = shard_transformer_params(
+                pipe.transformer_params, mesh_ctx
+            )
+
     kwargs = {}
     if args.embeddings_file:
         from .models.ltx_video.loader import load_safetensors
@@ -202,28 +214,33 @@ def main(argv=None) -> int:
             load_safetensors(args.initial_latents_file)["latents"]
         )
 
+    import contextlib
+
     t0 = time.time()
-    out = generate(
-        pipe,
-        height=args.height,
-        width=args.width,
-        num_frames=args.num_frames,
-        frame_rate=args.frame_rate,
-        num_inference_steps=args.num_inference_steps,
-        guidance_scale=args.guidance_scale,
-        guidance_rescale=args.guidance_rescale,
-        stg_scale=args.stg_scale,
-        skip_block_list=args.skip_block_list,
-        num_videos_per_prompt=args.num_videos_per_prompt,
-        seed=args.seed,
-        output_type=args.output_type,
-        max_sequence_length=args.max_sequence_length,
-        use_pcg_rng=args.pcg_rng,
-        attn_impl=args.attn_impl,
-        use_vae_tiling=args.vae_tiling,
-        **kwargs,
-    )
-    out.block_until_ready()
+    with (mesh_ctx if mesh_ctx is not None else contextlib.nullcontext()):
+        out = generate(
+            pipe,
+            height=args.height,
+            width=args.width,
+            num_frames=args.num_frames,
+            frame_rate=args.frame_rate,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            guidance_rescale=args.guidance_rescale,
+            stg_scale=args.stg_scale,
+            skip_block_list=args.skip_block_list,
+            num_videos_per_prompt=args.num_videos_per_prompt,
+            seed=args.seed,
+            output_type=args.output_type,
+            max_sequence_length=args.max_sequence_length,
+            use_pcg_rng=args.pcg_rng,
+            attn_impl=args.attn_impl,
+            use_vae_tiling=args.vae_tiling,
+            **kwargs,
+        )
+    import numpy as _np
+
+    _np.asarray(out[(0,) * out.ndim])  # forced sync (axon block_until_ready quirk)
     dt = time.time() - t0
     print(f"generation took {dt:.1f}s")
 
