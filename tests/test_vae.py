@@ -405,3 +405,53 @@ def test_batch_slicing_matches_full(tiny_vae, rng):
     sliced = V.decode(params, cfg, jnp.asarray(z), temb, use_tiling=False,
                       use_framewise_decoding=False, use_slicing=True)
     np.testing.assert_allclose(np.asarray(sliced), np.asarray(full), atol=1e-5)
+
+
+def test_tiled_encode_equals_direct_when_tile_covers(tiny_vae, rng):
+    _, _, params, cfg = tiny_vae
+    x = rng.normal(size=(1, 3, 5, 16, 16)).astype(np.float32)
+    tiling = V.TilingConfig(
+        tile_sample_min_height=64, tile_sample_min_width=64,
+        tile_sample_stride_height=64, tile_sample_stride_width=64,
+        tile_sample_min_num_frames=64, tile_sample_stride_num_frames=64,
+    )
+    direct = V.encoder_forward(params["encoder"], cfg, jnp.asarray(x))
+    tiled = V.tiled_encode(params, cfg, jnp.asarray(x), tiling)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(direct), atol=1e-5)
+
+
+def test_tiled_encode_multi_tile_shape(tiny_vae, rng):
+    _, _, params, cfg = tiny_vae
+    x = rng.normal(size=(1, 3, 5, 32, 32)).astype(np.float32)
+    tiling = V.TilingConfig(
+        tile_sample_min_height=16, tile_sample_min_width=16,
+        tile_sample_stride_height=8, tile_sample_stride_width=8,
+        tile_sample_min_num_frames=64, tile_sample_stride_num_frames=64,
+    )
+    # latent 32/8 = 4 spatial
+    out = V.tiled_encode(params, cfg, jnp.asarray(x), tiling)
+    assert out.shape == (1, 8, 2, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_temporal_tiled_encode_first_tile_frame_drop(tiny_vae, rng):
+    """Temporal encode drops tile-0's first latent frame (vae.rs:2323-2329)."""
+    _, _, params, cfg = tiny_vae
+    x = rng.normal(size=(1, 3, 13, 16, 16)).astype(np.float32)
+    tiling = V.TilingConfig(
+        tile_sample_min_height=64, tile_sample_min_width=64,
+        tile_sample_stride_height=64, tile_sample_stride_width=64,
+        tile_sample_min_num_frames=8, tile_sample_stride_num_frames=4,
+    )
+    out = V.temporal_tiled_encode(params, cfg, jnp.asarray(x), tiling)
+    # latent frames = (13-1)/4+1 = 4
+    assert out.shape == (1, 8, 4, 2, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_encode_facade_dispatch(tiny_vae, rng):
+    _, _, params, cfg = tiny_vae
+    x = rng.normal(size=(1, 3, 5, 16, 16)).astype(np.float32)
+    out = V.encode(params, cfg, jnp.asarray(x), use_tiling=False,
+                   use_framewise_encoding=False)
+    assert out.shape == (1, 8, 2, 2, 2)
