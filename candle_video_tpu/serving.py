@@ -1,0 +1,199 @@
+"""In-process serving runtime: shape-bucketed precompilation + request loop.
+
+The reference is a one-shot CLI; this framework targets production serving,
+so the runtime layer offers:
+
+- **shape buckets**: each (height, width, num_frames, steps, guidance mode)
+  bucket is compiled once at warmup; requests snap to the nearest bucket
+  (XLA static shapes make unbucketed serving recompile-storm-prone),
+- **request queue** with FIFO execution on the single-controller JAX model
+  (device work is serialized by XLA's stream anyway; the queue gives
+  backpressure and stats),
+- **stats**: per-bucket latency, queue depth, served count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapeBucket:
+    height: int
+    width: int
+    num_frames: int
+    num_inference_steps: int
+    guidance: bool = False  # CFG on/off changes the compiled graph
+
+    def key(self) -> Tuple:
+        return (self.height, self.width, self.num_frames,
+                self.num_inference_steps, self.guidance)
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: Optional[str] = None
+    negative_prompt: Optional[str] = None
+    prompt_embeds: Any = None
+    prompt_attention_mask: Any = None
+    negative_prompt_embeds: Any = None
+    negative_prompt_attention_mask: Any = None
+    bucket: Optional[ShapeBucket] = None
+    seed: int = 42
+    output_type: str = "tensor"
+
+
+class VideoGenerationServer:
+    """Minimal single-host serving loop around an LtxPipeline."""
+
+    def __init__(self, pipe, buckets: Sequence[ShapeBucket], **generate_kwargs):
+        from .models.ltx_video.pipeline import generate  # noqa: F401
+
+        self._pipe = pipe
+        self._buckets = {b.key(): b for b in buckets}
+        self._gen_kwargs = generate_kwargs
+        self._queue: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
+        self._stats: Dict[Tuple, Dict[str, float]] = {}
+        self._served = 0
+        self._worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def warmup(self, warm_embeds=None, warm_mask=None):
+        """Compile every bucket once (zero/neutral inputs)."""
+        import jax.numpy as jnp
+
+        for b in self._buckets.values():
+            kwargs = self._bucket_kwargs(b)
+            if warm_embeds is None:
+                cap = self._pipe.config.transformer.caption_channels
+                warm_embeds = jnp.zeros((1, 128, cap), jnp.float32)
+                warm_mask = jnp.ones((1, 128), jnp.float32)
+            t0 = time.time()
+            out = self._generate(
+                Request(
+                    prompt_embeds=warm_embeds,
+                    prompt_attention_mask=warm_mask,
+                    negative_prompt_embeds=warm_embeds if b.guidance else None,
+                    negative_prompt_attention_mask=warm_mask if b.guidance else None,
+                    bucket=b,
+                    output_type=(
+                        "tensor" if self._pipe.vae_params is not None else "latent"
+                    ),
+                ),
+            )
+            np.asarray(out[(0,) * out.ndim])
+            self._stats[b.key()] = {"compile_s": time.time() - t0, "served": 0,
+                                    "last_ms": 0.0}
+        return self
+
+    def start(self):
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._worker is not None:
+            self._queue.put((None, None))  # wake
+            self._worker.join(timeout=30)
+
+    # -- request path ---------------------------------------------------------
+
+    def submit(self, request: Request) -> "queue.Queue":
+        """Enqueue; returns a single-item queue that will receive the result."""
+        out: "queue.Queue" = queue.Queue(maxsize=1)
+        self._queue.put((request, out))
+        return out
+
+    def generate_sync(self, request: Request, timeout: Optional[float] = None):
+        if self._worker is None:
+            return self._serve_one(request)
+        result = self.submit(request).get(timeout=timeout)
+        if isinstance(result, Exception):
+            raise result
+        return result
+
+    def stats(self) -> Dict:
+        return {
+            "served": self._served,
+            "queue_depth": self._queue.qsize(),
+            "buckets": {str(k): dict(v) for k, v in self._stats.items()},
+        }
+
+    # -- internals ----------------------------------------------------------
+
+    def _bucket_kwargs(self, b: ShapeBucket) -> Dict:
+        inf = self._pipe.config.inference
+        return dict(
+            height=b.height,
+            width=b.width,
+            num_frames=b.num_frames,
+            num_inference_steps=b.num_inference_steps,
+            guidance_scale=(inf.guidance_scale if b.guidance else 1.0),
+            stg_scale=0.0 if not b.guidance else inf.stg_scale,
+            **self._gen_kwargs,
+        )
+
+    def _pick_bucket(self, request: Request) -> ShapeBucket:
+        if request.bucket is not None and request.bucket.key() in self._buckets:
+            return self._buckets[request.bucket.key()]
+        if request.bucket is not None:
+            # snap to the smallest bucket that fits
+            cands = [
+                b for b in self._buckets.values()
+                if b.height >= request.bucket.height
+                and b.width >= request.bucket.width
+                and b.num_frames >= request.bucket.num_frames
+            ]
+            if cands:
+                return min(cands, key=lambda b: (b.height * b.width, b.num_frames))
+        if not self._buckets:
+            raise RuntimeError("no shape buckets configured")
+        return next(iter(self._buckets.values()))
+
+    def _generate(self, request: Request):
+        from .models.ltx_video.pipeline import generate
+
+        b = self._pick_bucket(request)
+        return generate(
+            self._pipe,
+            prompt=request.prompt,
+            negative_prompt=request.negative_prompt,
+            prompt_embeds=request.prompt_embeds,
+            prompt_attention_mask=request.prompt_attention_mask,
+            negative_prompt_embeds=request.negative_prompt_embeds,
+            negative_prompt_attention_mask=request.negative_prompt_attention_mask,
+            seed=request.seed,
+            output_type=request.output_type,
+            **self._bucket_kwargs(b),
+        )
+
+    def _serve_one(self, request: Request):
+        b = self._pick_bucket(request)
+        t0 = time.time()
+        out = self._generate(request)
+        np.asarray(out[(0,) * out.ndim])  # forced sync
+        ms = (time.time() - t0) * 1000.0
+        rec = self._stats.setdefault(b.key(), {"served": 0, "last_ms": 0.0})
+        rec["served"] += 1
+        rec["last_ms"] = round(ms, 1)
+        self._served += 1
+        return out
+
+    def _loop(self):
+        while not self._stop.is_set():
+            request, out = self._queue.get()
+            if request is None:
+                continue
+            try:
+                out.put(self._serve_one(request))
+            except Exception as e:  # propagate to the caller
+                out.put(e)

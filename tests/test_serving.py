@@ -1,0 +1,93 @@
+"""Serving runtime tests: bucket snapping, warmup, queue loop, stats."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from candle_video_tpu.serving import Request, ShapeBucket, VideoGenerationServer
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    from candle_video_tpu.models.ltx_video import transformer as TF
+    from candle_video_tpu.models.ltx_video import vae as V
+    from candle_video_tpu.models.ltx_video.configs import (
+        LtxFullConfig,
+        LtxInferenceConfig,
+    )
+    from candle_video_tpu.models.ltx_video.pipeline import LtxPipeline
+    from candle_video_tpu.models.ltx_video.scheduler import (
+        FlowMatchEulerSchedulerConfig,
+    )
+
+    tcfg = TF.LtxTransformerConfig(
+        in_channels=8, out_channels=8, num_attention_heads=2,
+        attention_head_dim=12, cross_attention_dim=24, num_layers=2,
+        caption_channels=16,
+    )
+    full = LtxFullConfig(
+        inference=LtxInferenceConfig(guidance_scale=2.0, num_inference_steps=2,
+                                     stg_scale=0.0, skip_block_list=()),
+        transformer=tcfg,
+        vae=V.LtxVaeConfig(),
+        scheduler=FlowMatchEulerSchedulerConfig(shift_terminal=0.1),
+    )
+    params = TF.init_params(jax.random.PRNGKey(0), tcfg, dtype=jnp.float32)
+    return LtxPipeline(config=full, transformer_params=params)
+
+
+def _req(seed=1):
+    emb = jnp.asarray(np.random.default_rng(seed).normal(size=(1, 8, 16)) * 0.3,
+                      jnp.float32)
+    mask = jnp.ones((1, 8), jnp.float32)
+    return Request(prompt_embeds=emb, prompt_attention_mask=mask,
+                   output_type="latent", seed=seed)
+
+
+def test_warmup_and_sync_generate(tiny_pipe):
+    bucket = ShapeBucket(64, 64, 9, 2)
+    server = VideoGenerationServer(
+        tiny_pipe, [bucket], max_sequence_length=8, attn_impl="xla",
+    ).warmup()
+    assert "compile_s" in server.stats()["buckets"][str(bucket.key())]
+
+    out = server.generate_sync(_req())
+    assert out.shape == (1, 2 * 2 * 2, 8)  # latent 2x2x(9-1)/8+1=2 frames
+    assert server.stats()["served"] == 1
+
+
+def test_queue_loop(tiny_pipe):
+    bucket = ShapeBucket(64, 64, 9, 2)
+    server = VideoGenerationServer(
+        tiny_pipe, [bucket], max_sequence_length=8, attn_impl="xla",
+    ).warmup().start()
+    try:
+        outs = [server.submit(_req(seed=i)) for i in range(3)]
+        results = [q.get(timeout=120) for q in outs]
+        for r in results:
+            assert not isinstance(r, Exception)
+            assert r.shape == (1, 8, 8)
+        assert server.stats()["served"] == 3
+    finally:
+        server.stop()
+
+
+def test_bucket_snapping(tiny_pipe):
+    small = ShapeBucket(64, 64, 9, 2)
+    big = ShapeBucket(96, 96, 9, 2)
+    server = VideoGenerationServer(
+        tiny_pipe, [small, big], max_sequence_length=8, attn_impl="xla",
+    )
+    # request between buckets snaps up to the smallest fitting one
+    req = _req()
+    req = Request(prompt_embeds=req.prompt_embeds,
+                  prompt_attention_mask=req.prompt_attention_mask,
+                  bucket=ShapeBucket(65, 65, 9, 2), output_type="latent")
+    picked = server._pick_bucket(req)
+    assert picked == big
+
+    # exact match picks itself
+    req2 = Request(bucket=small)
+    assert server._pick_bucket(req2) == small
