@@ -168,3 +168,59 @@ class Pcg32:
             self.state = _U64(s)
         finally:
             np.seterr(**err)
+
+
+# ---------------------------------------------------------------------------
+# native C++ sampler (native/pcg32_randn.cpp)
+# ---------------------------------------------------------------------------
+
+_PCG_LIB = None
+_PCG_LIB_TRIED = False
+
+
+def _load_pcg_lib():
+    global _PCG_LIB, _PCG_LIB_TRIED
+    if _PCG_LIB_TRIED:
+        return _PCG_LIB
+    _PCG_LIB_TRIED = True
+    import ctypes
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cand = os.path.join(here, "..", "..", "native", "libpcg32.so")
+    if os.path.exists(cand):
+        try:
+            lib = ctypes.CDLL(cand)
+            lib.pcg32_randn.argtypes = [
+                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.pcg32_u32.argtypes = [
+                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            _PCG_LIB = lib
+        except OSError:
+            pass
+    return _PCG_LIB
+
+
+def pcg32_randn(seed: int, inc: int, shape, prefer_native: bool = True) -> np.ndarray:
+    """Gaussian tensor from a fresh PCG32(seed, inc) stream.
+
+    Uses the native C++ sampler when built (u32 stream bit-exact with the
+    NumPy path; Box-Muller floats agree to ~1 ULP — libm vs NumPy
+    transcendentals), else the NumPy implementation.
+    """
+    import ctypes
+
+    shape = tuple(int(s) for s in shape)
+    count = int(np.prod(shape)) if shape else 1
+    lib = _load_pcg_lib() if prefer_native else None
+    if lib is None:
+        return Pcg32(seed, inc).randn(shape)
+    n = count + (count % 2)
+    out = np.empty(n, np.float32)
+    lib.pcg32_randn(
+        ctypes.c_uint64(seed), ctypes.c_uint64(inc), ctypes.c_int64(n),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:count].reshape(shape)
