@@ -184,7 +184,12 @@ def _run_parity(models, guidance_scale):
     )
     seq_len = f * h * w
     mu = S.calculate_shift(seq_len, 1024, 4096, 0.95, 2.05)
-    schedule = S.set_timesteps(schcfg, num_inference_steps=4, mu=mu)
+    # generate() defaults to the reference pipeline's sigma grid
+    # linspace(1, 1/N, N) (t2v_pipeline.rs:752-758) — mirror it exactly
+    schedule = S.set_timesteps(
+        schcfg, num_inference_steps=4,
+        sigmas=np.linspace(1.0, 0.25, 4).tolist(), mu=mu,
+    )
 
     coords = P.build_video_coords(f, h, w, 25.0, 4, 32)
     coords_b = np.broadcast_to(coords[None], (1, seq_len, 3)).copy()
@@ -222,7 +227,7 @@ def _run_parity(models, guidance_scale):
         attn_impl="xla",
     )
     # per-step accumulated latent error (reference: MSE < 1e-3)
-    assert np.mean((np.asarray(got_lat) - ref_lat) ** 2) < 1e-3
+    assert np.mean((np.asarray(got_lat) - ref_lat) ** 2) < 1e-8
 
     got_video = P.generate(
         pipe,
@@ -239,3 +244,80 @@ def _run_parity(models, guidance_scale):
     )
     psnr = _psnr(np.asarray(got_video), ref_video)
     assert psnr > 35.0, f"pipeline PSNR {psnr:.1f} dB < 35 dB"
+
+
+def test_pipeline_parity_stg_and_rescale(models):
+    """3-row guidance: CFG + rescale + STG perturbed pass
+    (t2v_pipeline.rs:869-963 semantics, batched here)."""
+    dit, dec, tcfg, vcfg, tparams, vparams = models
+    rng = np.random.default_rng(5)
+
+    f, h, w = 2, 2, 3
+    seq_len = f * h * w
+    lat5 = Pcg32(7, 0).randn((1, 4, f, h, w)).astype(np.float32)
+    embeds = (rng.normal(size=(1, 6, 16)) * 0.3).astype(np.float32)
+    mask = np.ones((1, 6), np.float32)
+    guidance_scale, guidance_rescale, stg_scale = 3.0, 0.7, 1.5
+    skip_blocks = [1]
+
+    schcfg = FlowMatchEulerSchedulerConfig(
+        shift_terminal=0.1, base_shift=0.95, max_shift=2.05,
+        base_image_seq_len=1024, max_image_seq_len=4096,
+    )
+    mu = S.calculate_shift(seq_len, 1024, 4096, 0.95, 2.05)
+    schedule = S.set_timesteps(
+        schcfg, num_inference_steps=3,
+        sigmas=np.linspace(1.0, 1.0 / 3.0, 3).tolist(), mu=mu,
+    )
+    coords = P.build_video_coords(f, h, w, 25.0, 4, 32)
+    coords_b = np.broadcast_to(coords[None], (1, seq_len, 3)).copy()
+
+    # torch mirror: sequential 3-pass guidance like the reference
+    lat = torch.from_numpy(
+        lat5.reshape(1, 4, -1).transpose(0, 2, 1).copy()
+    )
+    emb_t = torch.from_numpy(embeds)
+    msk_t = torch.from_numpy(mask)
+    crd_t = torch.from_numpy(coords_b)
+    skip_mask = torch.zeros(2, 1)
+    skip_mask[1, 0] = 1.0
+    with torch.no_grad():
+        for i in range(len(schedule.timesteps)):
+            t = torch.full((1,), float(schedule.timesteps[i]))
+            uncond = dit(lat.float(), torch.zeros_like(emb_t), t, crd_t,
+                         torch.ones_like(msk_t)).float()
+            text = dit(lat.float(), emb_t, t, crd_t, msk_t).float()
+            perturbed = dit(lat.float(), emb_t, t, crd_t, msk_t,
+                            skip_mask).float()
+            combined = uncond + guidance_scale * (text - uncond)
+            std_text = text.std(dim=list(range(1, text.ndim)), keepdim=True)
+            std_cfg = combined.std(dim=list(range(1, combined.ndim)), keepdim=True)
+            combined = (guidance_rescale * (combined * std_text / std_cfg)
+                        + (1 - guidance_rescale) * combined)
+            combined = combined + stg_scale * (text - perturbed)
+            dt = float(schedule.sigmas[i + 1] - schedule.sigmas[i])
+            lat = lat.float() + dt * combined
+    ref_lat = lat.numpy()
+
+    full = LtxFullConfig(
+        inference=LtxInferenceConfig(
+            guidance_scale=guidance_scale, num_inference_steps=3,
+            stg_scale=stg_scale, rescaling_scale=guidance_rescale,
+            skip_block_list=tuple(skip_blocks),
+        ),
+        transformer=tcfg, vae=vcfg, scheduler=schcfg,
+    )
+    pipe = P.LtxPipeline(config=full, transformer_params=tparams,
+                         vae_params=vparams)
+    got = P.generate(
+        pipe,
+        prompt_embeds=jnp.asarray(embeds),
+        prompt_attention_mask=jnp.asarray(mask),
+        negative_prompt_embeds=jnp.asarray(np.zeros_like(embeds)),
+        negative_prompt_attention_mask=jnp.asarray(np.ones_like(mask)),
+        height=h * 32, width=w * 32, num_frames=(f - 1) * 4 + 1,
+        latents=jnp.asarray(lat5), num_inference_steps=3,
+        output_type="latent", attn_impl="xla",
+    )
+    assert np.mean((np.asarray(got) - ref_lat) ** 2) < 1e-9
+    assert np.abs(np.asarray(got) - ref_lat).max() < 1e-3
