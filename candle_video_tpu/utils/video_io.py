@@ -49,3 +49,16 @@ def save_mp4(video, path: str, fps: float = 25.0):
         alt = os.path.splitext(path)[0] + ".gif"
         return save_gif(video, alt, fps)
     return path
+
+
+def load_image(path: str, height: int | None = None, width: int | None = None):
+    """Load an image to [1, 3, H, W] float32 in [-1, 1] (the SVD pipeline's
+    input convention; reference src/models/svd/pipeline.rs load_image)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if height and width:
+        img = img.resize((width, height), Image.LANCZOS)
+    arr = np.asarray(img, np.float32) / 255.0
+    arr = arr.transpose(2, 0, 1)[None]
+    return arr * 2.0 - 1.0

@@ -88,3 +88,41 @@ def test_log_gated(monkeypatch, capsys):
     err = capsys.readouterr().err
     rec = json.loads(err)
     assert rec["stage"] == "stage" and rec["foo"] == 1
+
+
+def test_load_image_roundtrip(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(arr).save(p)
+    out = video_io.load_image(p)
+    assert out.shape == (1, 3, 16, 24)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    back = ((out[0].transpose(1, 2, 0) + 1) / 2 * 255.0).round().astype(np.uint8)
+    np.testing.assert_array_equal(back, arr)
+
+    resized = video_io.load_image(p, height=8, width=12)
+    assert resized.shape == (1, 3, 8, 12)
+
+
+def test_real_tokenizer_wrapper(tmp_path):
+    """T5TokenizerWrapper over an actual tokenizers.Tokenizer file."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {"<pad>": 0, "<unk>": 1, "hello": 2, "world": 3, "a": 4, "cat": 5}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    path = str(tmp_path / "tokenizer.json")
+    tok.save(path)
+
+    from candle_video_tpu.utils.tokenizer import T5TokenizerWrapper
+
+    wrapper = T5TokenizerWrapper(path, model_max_length=8)
+    ids, mask = wrapper.encode_batch(["hello world", "a cat plays"])
+    assert ids.shape == mask.shape == (2, 8)
+    assert ids[0, 0] == 2 and ids[0, 1] == 3
+    assert mask[0].sum() == 2
+    assert ids[1, 2] == 1  # "plays" -> <unk>
+    assert mask[1].sum() == 3
