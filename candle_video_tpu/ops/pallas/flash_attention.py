@@ -67,8 +67,10 @@ def _fa_kernel(
     l_prev = l_scr[...][:, :1]
     m_curr = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
     m_new = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # [bq, bk] f32
+    # exp2 is cheaper than exp on the VPU; exp(x) == exp2(x * log2(e))
+    log2e = jnp.float32(1.4426950408889634)
+    alpha = jnp.exp2((m_prev - m_new) * log2e)
+    p = jnp.exp2((s - m_new) * log2e)  # [bq, bk] f32
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
     v = v_ref[0]  # [bk, D]

@@ -121,3 +121,51 @@ def test_denoise_loop_on_mesh(setup):
         num_conds=1, attn_impl="xla",
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_13b_structure_depth48_tp(setup):
+    """48-layer 13B-structure config (scaled head_dim) through the sharded
+    denoise scan — validates depth + TP at the real layer count."""
+    cfg = TF.LtxTransformerConfig(
+        in_channels=8,
+        out_channels=8,
+        num_attention_heads=32,   # real 13B head count
+        attention_head_dim=6,     # scaled down (real: 128)
+        cross_attention_dim=192,
+        num_layers=48,            # real 13B depth
+        caption_channels=16,
+    )
+    params = TF.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    f, h, w = 2, 2, 3
+    s = f * h * w
+    hidden = jnp.asarray(rng.normal(size=(1, s, 8)), jnp.float32)
+    enc = jnp.asarray(rng.normal(size=(1, 5, 16)), jnp.float32)
+    grid = normalize_video_coords(
+        jnp.asarray(video_coords_grid(f, h, w))[None], 20, 2048, 2048
+    )
+    cos, sin = rope_cos_sin(grid, cfg.inner_dim)
+    sigmas = jnp.asarray([1.0, 0.5, 0.0], jnp.float32)
+    timesteps = sigmas[:-1] * 1000.0
+    skip = np.zeros((48, 1), np.float32)
+    skip[42, 0] = 1.0  # the 13B-distilled permanent skip block
+
+    ref = P.denoise_loop(
+        params, cfg, hidden, enc, jnp.ones((1, 5), jnp.float32),
+        sigmas, timesteps, cos, sin,
+        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.asarray(skip), jax.random.PRNGKey(0),
+        num_conds=1, attn_impl="xla", use_skip=True,
+    )
+
+    mesh = make_mesh(dp=1, tp=8)
+    with mesh:
+        sharded = shard_transformer_params(params, mesh)
+        got = P.denoise_loop(
+            sharded, cfg, hidden, enc, jnp.ones((1, 5), jnp.float32),
+            sigmas, timesteps, cos, sin,
+            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.asarray(skip), jax.random.PRNGKey(0),
+            num_conds=1, attn_impl="xla", use_skip=True,
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
