@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-sequence-length", type=int, default=128)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--vae-slicing", action="store_true",
+                   help="decode batch elements one at a time (vae.rs slicing)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (reference --cpu flag)")
     p.add_argument("--vae-tiling", action="store_true",
                    help="enable spatial+temporal VAE tiling (off by default: "
                         "one v5e chip decodes 512x768x97f untiled)")
@@ -151,6 +155,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -236,6 +243,7 @@ def main(argv=None) -> int:
             use_pcg_rng=args.pcg_rng,
             attn_impl=args.attn_impl,
             use_vae_tiling=args.vae_tiling,
+            use_vae_slicing=args.vae_slicing,
             **kwargs,
         )
     import numpy as _np

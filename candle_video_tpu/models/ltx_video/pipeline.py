@@ -326,6 +326,7 @@ def generate(
     attn_impl: str = "auto",
     vae_tiling: Optional[V.TilingConfig] = None,
     use_vae_tiling: bool = False,
+    use_vae_slicing: bool = False,
     decode_fn=None,
     step_callback=None,
 ):
@@ -537,6 +538,7 @@ def generate(
         tiling=vae_tiling,
         use_tiling=use_vae_tiling,
         use_framewise_decoding=use_vae_tiling,
+        use_slicing=use_vae_slicing,
         decode_fn=decode_fn,
     )
     return postprocess_video(video)
