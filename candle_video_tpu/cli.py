@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pcg-rng", action="store_true", default=True,
                    help="use the deterministic PCG32 latent RNG (cross-impl "
                         "reproducibility with the reference)")
+    p.add_argument("--progress", action="store_true",
+                   help="per-step progress lines + Ctrl-C cooperative "
+                        "interrupt (runs the step-wise denoise path)")
     p.add_argument("--mesh", type=str, default=None,
                    help="device mesh spec, e.g. 'dp=1,tp=4' for sharded 13B")
     return p
@@ -223,6 +226,19 @@ def main(argv=None) -> int:
 
     import contextlib
 
+    step_callback = None
+    if args.progress:
+        import signal
+
+        def _on_sigint(sig, frame):
+            print("\ninterrupt requested — finishing current step...")
+            pipe.interrupt = True
+
+        signal.signal(signal.SIGINT, _on_sigint)
+
+        def step_callback(i, n, lat):
+            print(f"Step {i + 1}/{n}")
+
     t0 = time.time()
     with (mesh_ctx if mesh_ctx is not None else contextlib.nullcontext()):
         out = generate(
@@ -244,6 +260,7 @@ def main(argv=None) -> int:
             attn_impl=args.attn_impl,
             use_vae_tiling=args.vae_tiling,
             use_vae_slicing=args.vae_slicing,
+            step_callback=step_callback,
             **kwargs,
         )
     import numpy as _np
