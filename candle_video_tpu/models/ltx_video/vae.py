@@ -648,3 +648,31 @@ def encode(
         return tiled_encode(params, cfg, x, tiling, encode_fn)
     fn = encode_fn or (lambda xx: encoder_forward(params["encoder"], cfg, xx))
     return fn(x)
+
+
+def forward(
+    params,
+    cfg: LtxVaeConfig,
+    sample,
+    temb=None,
+    sample_posterior: bool = False,
+    key=None,
+    **decode_kwargs,
+):
+    """Encode → (sample|mode) → decode roundtrip facade (vae.rs:2139-2154)."""
+    moments = encode(params, cfg, sample, **{
+        k: v for k, v in decode_kwargs.items()
+        if k in ("tiling", "use_tiling", "use_framewise_encoding", "encode_fn")
+    })
+    if sample_posterior:
+        if key is None:
+            raise ValueError("sample_posterior=True requires a PRNG key")
+        z = gaussian_sample(moments, key)
+    else:
+        z, _ = gaussian_split(moments)
+    dec_kwargs = {
+        k: v for k, v in decode_kwargs.items()
+        if k in ("tiling", "use_tiling", "use_framewise_decoding",
+                 "use_slicing", "decode_fn")
+    }
+    return decode(params, cfg, z, temb, **dec_kwargs)

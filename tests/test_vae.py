@@ -455,3 +455,28 @@ def test_encode_facade_dispatch(tiny_vae, rng):
     out = V.encode(params, cfg, jnp.asarray(x), use_tiling=False,
                    use_framewise_encoding=False)
     assert out.shape == (1, 8, 2, 2, 2)
+
+
+def test_vae_forward_roundtrip_facade(tiny_vae, rng):
+    """encode -> mode/sample -> decode facade (vae.rs:2139-2154)."""
+    _, _, params, cfg = tiny_vae
+    x = rng.normal(size=(1, 3, 5, 16, 16)).astype(np.float32)
+    temb = jnp.asarray([0.05], jnp.float32)
+    out = V.forward(params, cfg, jnp.asarray(x), temb,
+                    use_tiling=False, use_framewise_decoding=False,
+                    use_framewise_encoding=False)
+    assert out.shape == (1, 3, 5, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+    import jax
+
+    out_s = V.forward(params, cfg, jnp.asarray(x), temb, sample_posterior=True,
+                      key=jax.random.PRNGKey(0),
+                      use_tiling=False, use_framewise_decoding=False,
+                      use_framewise_encoding=False)
+    assert np.abs(np.asarray(out_s) - np.asarray(out)).max() > 1e-6
+
+    with pytest.raises(ValueError, match="PRNG key"):
+        V.forward(params, cfg, jnp.asarray(x), temb, sample_posterior=True,
+                  use_tiling=False, use_framewise_decoding=False,
+                  use_framewise_encoding=False)
