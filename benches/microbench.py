@@ -5,15 +5,22 @@ forward at several sequence lengths, VAE decode, attention kernels).
 Usage: python benches/microbench.py [--bench NAME] [--json]
 
 Timing uses forced host fetches (axon block_until_ready is unreliable).
+NOTE: standalone per-call numbers include ~4 ms of remote-dispatch latency
+on the tunnel setup; in-graph cost inside the production ``lax.scan`` is
+lower.  ``bench.py`` measures the production path.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _timed(fn, *args, n=10, warmup=1):

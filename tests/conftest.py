@@ -16,13 +16,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# the axon TPU plugin ignores the env var; force the platform via config
-jax.config.update("jax_platforms", "cpu")
+# the axon TPU plugin ignores the env var; force the platform via config.
+# CVT_TEST_PLATFORM=axon opts in to running the suite on the real chip.
+_platform = os.environ.get("CVT_TEST_PLATFORM", "cpu")
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+if _platform == "cpu":
+    assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 
 
 @pytest.fixture
