@@ -99,3 +99,22 @@ def test_flash_attention_bf16(rng):
         ).astype(jnp.float32)
     )
     assert np.mean((got - ref) ** 2) < 1e-4
+
+
+def test_attention_xla_bf16_matches_oracle(rng):
+    from candle_video_tpu.ops.attention import attention_xla_bf16
+
+    b, s, kk, h, d = 1, 64, 9, 4, 16
+    q = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, kk, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, kk, h, d)).astype(np.float32)
+    mask01 = (rng.random((b, kk)) > 0.3).astype(np.float32)
+    bias = ((1.0 - mask01) * -10000.0)[:, None, None, :].astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    ref = np.asarray(attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                   scale, jnp.asarray(bias)))
+    got = np.asarray(attention_xla_bf16(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), scale, jnp.asarray(bias),
+    ).astype(jnp.float32))
+    assert np.mean((got - ref) ** 2) < 1e-4
