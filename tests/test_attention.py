@@ -47,6 +47,15 @@ def test_attention_xla_cross_with_key_bias(rng):
     np.testing.assert_allclose(got, _torch_sdpa(q, k, v, scale, bias), atol=2e-5)
 
 
+def _flash_tol():
+    # CPU interpreter does true-f32 matmuls; on TPU f32 matmuls are
+    # bf16-reduced by default (MXU), so parity vs the HIGHEST-precision
+    # oracle is looser for f32 inputs
+    import jax
+
+    return 2e-4 if jax.devices()[0].platform == "cpu" else 8e-3
+
+
 def test_flash_attention_matches_xla(rng):
     b, s, h, d = 1, 300, 2, 64  # non-multiple of block sizes
     q = rng.normal(size=(b, s, h, d)).astype(np.float32)
@@ -57,10 +66,10 @@ def test_flash_attention_matches_xla(rng):
     got = np.asarray(
         flash_attention(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-            scale=scale, block_q=128, block_k=128, interpret=True,
+            scale=scale, block_q=128, block_k=128,
         )
     )
-    np.testing.assert_allclose(got, ref, atol=2e-4)
+    np.testing.assert_allclose(got, ref, atol=_flash_tol())
 
 
 def test_flash_attention_with_key_bias(rng):
@@ -78,10 +87,10 @@ def test_flash_attention_with_key_bias(rng):
         flash_attention(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
             scale=scale, bias=jnp.asarray(bias),
-            block_q=128, block_k=128, interpret=True,
+            block_q=128, block_k=128,
         )
     )
-    np.testing.assert_allclose(got, ref, atol=2e-4)
+    np.testing.assert_allclose(got, ref, atol=_flash_tol())
 
 
 def test_flash_attention_bf16(rng):
@@ -95,7 +104,7 @@ def test_flash_attention_bf16(rng):
         flash_attention(
             jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
             jnp.asarray(v, jnp.bfloat16), scale=scale,
-            block_q=128, block_k=128, interpret=True,
+            block_q=128, block_k=128,
         ).astype(jnp.float32)
     )
     assert np.mean((got - ref) ** 2) < 1e-4
