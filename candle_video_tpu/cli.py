@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--progress", action="store_true",
                    help="per-step progress lines + Ctrl-C cooperative "
                         "interrupt (runs the step-wise denoise path)")
+    p.add_argument("--compilation-cache", type=str,
+                   default=os.path.expanduser("~/.cache/candle_video_tpu/xla"),
+                   help="persistent XLA compilation cache dir ('' disables); "
+                        "makes repeat cold-starts fast")
     p.add_argument("--mesh", type=str, default=None,
                    help="device mesh spec, e.g. 'dp=1,tp=4' for sharded 13B")
     return p
@@ -161,6 +165,10 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.compilation_cache:
+        os.makedirs(args.compilation_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
