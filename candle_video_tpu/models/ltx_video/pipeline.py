@@ -405,6 +405,16 @@ def generate(
     enc_mask = jnp.concatenate(rows_mask, axis=0)
 
     # ---- latents ------------------------------------------------------------
+    if (num_frames - 1) % vcfg.temporal_compression_ratio != 0:
+        import warnings
+
+        eff = ((num_frames - 1) // vcfg.temporal_compression_ratio
+               * vcfg.temporal_compression_ratio + 1)
+        warnings.warn(
+            f"num_frames should be {vcfg.temporal_compression_ratio}*n+1; "
+            f"{num_frames} will produce {eff} frames",
+            stacklevel=2,
+        )
     latent_num_frames = (num_frames - 1) // vcfg.temporal_compression_ratio + 1
     latent_height = height // vcfg.spatial_compression_ratio
     latent_width = width // vcfg.spatial_compression_ratio

@@ -300,3 +300,17 @@ def test_distilled_preset_schedule_used(tiny_pipeline):
         output_type="latent", max_sequence_length=8, attn_impl="xla",
     )
     assert out.shape == (1, 8, 8)
+
+
+def test_frame_count_warning(tiny_pipeline):
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        P.generate(
+            tiny_pipeline, prompt="x", height=64, width=64, num_frames=6,
+            num_inference_steps=1, guidance_scale=1.0, stg_scale=0.0,
+            skip_block_list=[], output_type="latent", max_sequence_length=8,
+            attn_impl="xla",
+        )
+        assert any("4*n+1" in str(x.message) for x in w)

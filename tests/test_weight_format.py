@@ -99,3 +99,27 @@ def test_split_unified_state_dict():
     assert "decoder.mid_block.resnets.0.conv1.conv.weight" in vsd
     assert "latents_mean" in vsd
     assert "encoder.down_blocks.0.downsamplers.0.conv.conv.weight" in vsd
+
+
+def test_loader_missing_tensor_errors():
+    import jax.numpy as jnp
+
+    from candle_video_tpu.models.ltx_video.loader import (
+        LoaderError,
+        transformer_params_from_state_dict,
+        vae_params_from_state_dict,
+    )
+    from candle_video_tpu.models.ltx_video.transformer import LtxTransformerConfig
+
+    with pytest.raises(LoaderError, match="norm_q.weight"):
+        transformer_params_from_state_dict({}, LtxTransformerConfig(num_layers=1),
+                                           jnp.float32)
+    with pytest.raises(LoaderError, match="encoder.conv_in.conv.weight"):
+        vae_params_from_state_dict({}, jnp.float32)
+
+
+def test_load_sharded_empty_dir_errors(tmp_path):
+    from candle_video_tpu.models.ltx_video.loader import LoaderError, load_sharded
+
+    with pytest.raises(LoaderError, match="no safetensors"):
+        load_sharded(str(tmp_path))
