@@ -169,3 +169,39 @@ def test_13b_structure_depth48_tp(setup):
             num_conds=1, attn_impl="xla", use_skip=True,
         )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_sequence_parallel_attention(setup):
+    """SP attention (q sharded over the mesh, K/V all-gathered) matches the
+    unsharded oracle."""
+    from candle_video_tpu.ops.attention import attention_xla
+    from candle_video_tpu.parallel.sequence import sequence_parallel_attention
+
+    rng = np.random.default_rng(0)
+    b, s, hh, d = 1, 64, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, s, hh, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, hh, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, hh, d)), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    ref = np.asarray(attention_xla(q, k, v, scale))
+
+    mesh = make_mesh(dp=1, tp=8)
+    with mesh:
+        got = np.asarray(
+            sequence_parallel_attention(q, k, v, scale, mesh, impl="xla")
+        )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    # with a key-padding bias
+    mask01 = (rng.random((b, s)) > 0.3).astype(np.float32)
+    bias = jnp.asarray(((1.0 - mask01) * -10000.0)[:, None, None, :])
+    ref_b = np.asarray(attention_xla(q, k, v, scale, bias))
+    with mesh:
+        got_b = np.asarray(
+            sequence_parallel_attention(q, k, v, scale, mesh, bias=bias,
+                                        impl="xla")
+        )
+    np.testing.assert_allclose(got_b, ref_b, atol=2e-5)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        sequence_parallel_attention(q[:, :63], k, v, scale, mesh)
