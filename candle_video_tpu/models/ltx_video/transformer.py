@@ -141,10 +141,79 @@ def init_params(key, cfg: LtxTransformerConfig, dtype=jnp.bfloat16):
 
 
 def _apply_linear(p, x):
+    if "weight_q" in p:
+        return _apply_linear_w8a8(p, x)
     y = x @ p["weight"]
     if "bias" in p:
         y = y + p["bias"]
     return y
+
+
+def _apply_linear_w8a8(p, x):
+    """W8A8 dynamic-activation int8 matmul (EXPERIMENTAL — do not use for
+    speed yet).
+
+    Weights are pre-quantized per-output-channel (symmetric int8, scales in
+    ``w_scale``); activations quantize per token at runtime.  The isolated
+    int8 matmul is 1.78x faster than BF16 on v5e, but at the XLA level the
+    int32 accumulator + dequant epilogue do not fuse — the integrated path
+    measured 5x SLOWER (1293 vs 265 ms/step).  Needs a fused Pallas
+    quant-matmul-dequant kernel to pay off (docs/roadmap.md).  Numerics:
+    ~1.4% relative error on random 2B weights.
+    """
+    xf = x.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s_x = jnp.maximum(s_x, 1e-8)
+    x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q,
+        p["weight_q"],
+        (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * s_x * p["w_scale"].astype(jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _quantize_linear(p):
+    w = np.asarray(p["weight"], np.float32)  # [in, out] (or [L, in, out])
+    s = np.abs(w).max(axis=-2, keepdims=True) / 127.0  # per output channel
+    s = np.maximum(s, 1e-8)
+    w_q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    out = {
+        "weight_q": jnp.asarray(w_q),
+        "w_scale": jnp.asarray(np.squeeze(s, axis=-2), jnp.float32),
+    }
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def quantize_transformer_params(params):
+    """Quantize the hot block linears (QKVO + FF) to W8A8 int8.
+
+    proj_in/out, time/caption embeds, and norms stay BF16 (small, or
+    quality-critical).  Returns a new params pytree.
+    """
+    out = dict(params)
+    blocks = dict(params["blocks"])
+
+    def q_attn(attn):
+        a = dict(attn)
+        for name in ("to_q", "to_k", "to_v", "to_out"):
+            a[name] = _quantize_linear(attn[name])
+        return a
+
+    blocks["attn1"] = q_attn(params["blocks"]["attn1"])
+    blocks["attn2"] = q_attn(params["blocks"]["attn2"])
+    ff = dict(params["blocks"]["ff"])
+    ff["net_0_proj"] = _quantize_linear(ff["net_0_proj"])
+    ff["net_2"] = _quantize_linear(ff["net_2"])
+    blocks["ff"] = ff
+    out["blocks"] = blocks
+    return out
 
 
 def _timestep_embedding(p, timestep, dtype):

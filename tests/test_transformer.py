@@ -184,3 +184,20 @@ def test_jit_and_shapes(tiny_models):
     out = fwd(params, cfg, jnp.asarray(hidden), jnp.asarray(enc), jnp.asarray(t),
               cos, sin)
     assert out.shape == (2, 24, 8)
+
+
+def test_w8a8_quantized_forward_close(tiny_models):
+    """Opt-in W8A8 path: int8 QKVO+FF with dynamic activation scales stays
+    close to the full-precision forward on a tiny model."""
+    tm, cfg, params = tiny_models
+    hidden, enc, t, mask, coords = _inputs(seed=21)
+    qparams = T.quantize_transformer_params(params)
+    # quantized leaves really are int8
+    assert qparams["blocks"]["attn1"]["to_q"]["weight_q"].dtype == jnp.int8
+    ref = _jax_forward(params, cfg, hidden, enc, t, mask, coords)
+    got = _jax_forward(qparams, cfg, hidden, enc, t, mask, coords)
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.05, f"w8a8 relative error {rel}"
+    # and it actually differs (the quantized path ran)
+    assert np.abs(got - ref).max() > 0
