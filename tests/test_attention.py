@@ -127,3 +127,28 @@ def test_attention_xla_bf16_matches_oracle(rng):
         jnp.asarray(v, jnp.bfloat16), scale, jnp.asarray(bias),
     ).astype(jnp.float32))
     assert np.mean((got - ref) ** 2) < 1e-4
+
+
+def test_w8a8_matmul_kernel(rng):
+    from candle_video_tpu.ops.pallas.int8_matmul import (
+        quantize_activations,
+        w8a8_matmul,
+    )
+
+    m, k, n = 96, 256, 384
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.1
+    s_w = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0
+    w_q = jnp.asarray(np.clip(np.round(w / s_w), -127, 127).astype(np.int8))
+    bias = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+
+    x_q, s_x = quantize_activations(x)
+    assert x_q.dtype == jnp.int8
+    got = np.asarray(
+        w8a8_matmul(x_q, s_x, w_q, jnp.asarray(s_w), bias=bias,
+                    block_m=32, block_n=128, block_k=128,
+                    out_dtype=jnp.float32)
+    )
+    ref = np.asarray(x) @ w + np.asarray(bias)
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, f"w8a8 kernel rel err {rel}"
