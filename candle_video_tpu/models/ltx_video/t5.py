@@ -84,6 +84,15 @@ def position_bias(params, cfg: T5Config, seq_len: int) -> jnp.ndarray:
 
 
 def _linear(p, x):
+    if "w_q" in p:
+        # weights stay int8 in HBM; dequant is fused into the matmul k-loop
+        # (reference semantics: quantized_t5_encoder.rs:60-71 keeps QTensors
+        # quantized in VRAM and dequantizes per matmul)
+        from ...ops.pallas.int8_weight_matmul import w8_matmul
+
+        b, s, k = x.shape
+        y = w8_matmul(x.reshape(b * s, k), p["w_q"], p["s"], out_dtype=x.dtype)
+        return y.reshape(b, s, -1)
     return x @ p["weight"]
 
 
@@ -155,9 +164,24 @@ def forward(
 # ---------------------------------------------------------------------------
 
 
-def params_from_gguf(path: str, cfg: Optional[T5Config] = None, dtype=jnp.bfloat16):
+def params_from_gguf(
+    path: str,
+    cfg: Optional[T5Config] = None,
+    dtype=jnp.bfloat16,
+    keep_quantized: bool = False,
+):
     """Load from a GGUF file with enc.blk.N.* names
-    (quantized_t5_encoder.rs:126-154, 574-604); dequantizes once at load."""
+    (quantized_t5_encoder.rs:126-154, 574-604).
+
+    ``keep_quantized=False``: dequantize once at load into ``dtype`` arrays
+    (fastest matmuls, ~9.5 GB HBM for T5-XXL BF16).
+    ``keep_quantized=True``: linear weights stay int8 in HBM with blockwise
+    scales and dequantize inside the fused Pallas matmul — the reference's
+    memory semantics (quantized_t5_encoder.rs:60-71; saves ~8 GB,
+    reference README.md:95).  Q8_0 payloads are carried bit-exactly; K-quant
+    and float tensors are requantized to int8 groups of 32 at load.
+    """
+    from ...quant import dequant_np as DQ
     from ...quant.gguf import GGUFFile
 
     cfg = cfg or t5_xxl()
@@ -169,21 +193,40 @@ def params_from_gguf(path: str, cfg: Optional[T5Config] = None, dtype=jnp.bfloat
             arr = np.ascontiguousarray(arr.T)
         return jnp.asarray(arr, dtype)
 
+    def lin(name):
+        """Linear weight entry: dense [in, out] or quantized {w_q, s}."""
+        if not keep_quantized:
+            return {"weight": t(name, True)}
+        from ...ops.pallas.int8_weight_matmul import quantize_int8_blockwise
+
+        info = f.tensors[name]
+        out_dim, in_dim = info.shape
+        if info.ggml_type == DQ.GGML_Q8_0:
+            qs, d = DQ.extract_q8_0_fields(f.raw_tensor(name), info.n_elements)
+            w_q = np.ascontiguousarray(qs.reshape(out_dim, in_dim).T)
+            s = np.ascontiguousarray(
+                d.reshape(out_dim, in_dim // DQ.QK8_0).T
+            ).astype(np.float32)
+        else:
+            w = f.tensor(name).reshape(out_dim, in_dim)
+            w_q, s = quantize_int8_blockwise(np.ascontiguousarray(w.T))
+        return {"w_q": jnp.asarray(w_q), "s": jnp.asarray(s)}
+
     blocks = []
     for i in range(cfg.num_layers):
         pre = f"enc.blk.{i}"
         blk = {
             "attn": {
-                "q": {"weight": t(f"{pre}.attn_q.weight", True)},
-                "k": {"weight": t(f"{pre}.attn_k.weight", True)},
-                "v": {"weight": t(f"{pre}.attn_v.weight", True)},
-                "o": {"weight": t(f"{pre}.attn_o.weight", True)},
+                "q": lin(f"{pre}.attn_q.weight"),
+                "k": lin(f"{pre}.attn_k.weight"),
+                "v": lin(f"{pre}.attn_v.weight"),
+                "o": lin(f"{pre}.attn_o.weight"),
             },
             "attn_norm": {"weight": t(f"{pre}.attn_norm.weight")},
             "ffn": {
-                "wi_0": {"weight": t(f"{pre}.ffn_gate.weight", True)},
-                "wi_1": {"weight": t(f"{pre}.ffn_up.weight", True)},
-                "wo": {"weight": t(f"{pre}.ffn_down.weight", True)},
+                "wi_0": lin(f"{pre}.ffn_gate.weight"),
+                "wi_1": lin(f"{pre}.ffn_up.weight"),
+                "wo": lin(f"{pre}.ffn_down.weight"),
             },
             "ffn_norm": {"weight": t(f"{pre}.ffn_norm.weight")},
         }

@@ -1,0 +1,133 @@
+"""Weight-only int8 T5 path: fused-dequant Pallas matmul + keep-quantized
+GGUF loading (reference memory semantics, quantized_t5_encoder.rs:60-71)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from candle_video_tpu.models.ltx_video import t5 as T5
+from candle_video_tpu.ops.pallas.int8_weight_matmul import (
+    dequantize_int8_blockwise,
+    quantize_int8_blockwise,
+    w8_matmul,
+)
+from candle_video_tpu.quant import dequant_np as DQ
+
+
+def test_w8_matmul_matches_dequant_oracle(rng):
+    m, k, n = 48, 128, 96  # unaligned m/n exercise the padding path
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w = (rng.normal(size=(k, n)) * 0.05).astype(np.float32)
+    bias = rng.normal(size=(n,)).astype(np.float32)
+    w_q, s = quantize_int8_blockwise(w)
+    ref = x @ dequantize_int8_blockwise(w_q, s) + bias
+    got = np.asarray(
+        w8_matmul(
+            jnp.asarray(x),
+            jnp.asarray(w_q),
+            jnp.asarray(s),
+            bias=jnp.asarray(bias),
+            out_dtype=jnp.float32,
+        ),
+        np.float32,
+    )
+    # x is cast to bf16 inside the kernel; tolerance is bf16-level
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2
+
+
+def test_w8_matmul_multiple_k_blocks(rng):
+    m, k, n = 16, 320, 64
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w = (rng.normal(size=(k, n)) * 0.05).astype(np.float32)
+    w_q, s = quantize_int8_blockwise(w)
+    ref = x @ dequantize_int8_blockwise(w_q, s)
+    got = np.asarray(
+        w8_matmul(
+            jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(s),
+            block_k=128, out_dtype=jnp.float32,
+        ),
+        np.float32,
+    )
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2
+
+
+def test_quantize_blockwise_roundtrip_error_bound(rng):
+    w = rng.normal(size=(256, 64)).astype(np.float32)
+    w_q, s = quantize_int8_blockwise(w)
+    back = dequantize_int8_blockwise(w_q, s)
+    # symmetric int8: per-group error <= scale/2 = max|group|/254
+    g = w.reshape(-1, 32, 64)
+    bound = np.abs(g).max(axis=1, keepdims=True) / 254.0 + 1e-7
+    assert (np.abs((w - back).reshape(-1, 32, 64)) <= bound).all()
+
+
+def test_q8_0_extraction_is_bitexact(rng):
+    """extract_q8_0_fields + blockwise dequant == the block dequantizer."""
+    x = rng.normal(size=(4, 96)).astype(np.float32)
+    raw = DQ.quantize_q8_0(x)
+    qs, d = DQ.extract_q8_0_fields(raw, x.size)
+    ref = DQ.dequant_q8_0(raw, x.size)
+    got = (qs.astype(np.float32).reshape(-1, 32) * d[:, None]).reshape(-1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def _tiny_gguf(tmp_path, rng):
+    from candle_video_tpu.quant.gguf import write_gguf
+
+    cfg = T5.T5Config(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4
+    )
+    tensors = {}
+
+    def add(name, shape, quant=True):
+        x = rng.normal(size=shape).astype(np.float32) * 0.1
+        if quant and x.size % 32 == 0:
+            tensors[name] = (DQ.GGML_Q8_0, shape, DQ.quantize_q8_0(x))
+        else:
+            tensors[name] = (DQ.GGML_F32, shape, x.view(np.uint8).reshape(-1))
+
+    add("token_embd.weight", (64, 32))
+    add("enc.output_norm.weight", (32,), quant=False)
+    for i in range(2):
+        pre = f"enc.blk.{i}"
+        for nm, shape in [
+            ("attn_q", (32, 32)), ("attn_k", (32, 32)), ("attn_v", (32, 32)),
+            ("attn_o", (32, 32)), ("ffn_gate", (64, 32)), ("ffn_up", (64, 32)),
+            ("ffn_down", (32, 64)),
+        ]:
+            add(f"{pre}.{nm}.weight", shape)
+        add(f"{pre}.attn_norm.weight", (32,), quant=False)
+        add(f"{pre}.ffn_norm.weight", (32,), quant=False)
+    add("enc.blk.0.attn_rel_b.weight", (32, 4), quant=False)
+
+    path = str(tmp_path / "t5q.gguf")
+    write_gguf(path, tensors, {"general.architecture": "t5"})
+    return path, cfg
+
+
+def test_gguf_keep_quantized_bitexact_payload(tmp_path, rng):
+    """Q8_0 tensors loaded with keep_quantized carry the exact int8+scale."""
+    from candle_video_tpu.quant.gguf import GGUFFile
+
+    path, cfg = _tiny_gguf(tmp_path, rng)
+    params = T5.params_from_gguf(path, cfg, keep_quantized=True)
+    f = GGUFFile(path)
+    p = params["blocks"][0]["attn"]["q"]
+    assert set(p) == {"w_q", "s"}
+    dense = f.tensor("enc.blk.0.attn_q.weight").T  # [in, out]
+    back = dequantize_int8_blockwise(np.asarray(p["w_q"]), np.asarray(p["s"]))
+    np.testing.assert_array_equal(back.astype(np.float32), dense.astype(np.float32))
+    f.close()
+
+
+def test_gguf_keep_quantized_forward_close_to_dense(tmp_path, rng):
+    path, cfg = _tiny_gguf(tmp_path, rng)
+    dense = T5.params_from_gguf(path, cfg, dtype=jnp.float32)
+    quant = T5.params_from_gguf(path, cfg, keep_quantized=True)
+    ids = rng.integers(0, 64, size=(1, 10)).astype(np.int32)
+    ref = np.asarray(T5.forward(dense, cfg, jnp.asarray(ids)), np.float32)
+    got = np.asarray(T5.forward(quant, cfg, jnp.asarray(ids)), np.float32)
+    assert got.shape == ref.shape
+    # same quantized weights; differences are the bf16 activation path only
+    assert np.abs(got - ref).max() < 5e-2
+    assert np.abs(got - ref).mean() < 1e-2
