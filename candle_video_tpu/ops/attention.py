@@ -76,7 +76,25 @@ def attention(q, k, v, scale: float, bias=None, impl: str = "auto"):
             impl = "pallas"
     if impl == "pallas":
         from .pallas.flash_attention import flash_attention
+        from .pallas.flash_attention_packed import (
+            flash_attention_packed,
+            packed_viable,
+        )
 
+        b, s, h, d = q.shape
+        kv = k.shape[1]
+        if packed_viable(s, kv, h, d):
+            # natural-layout kernel: no q/k/v/out transposes (~34 ms/step
+            # saved at LTX 2B shapes), one-pass exact softmax
+            out = flash_attention_packed(
+                q.reshape(b, s, h * d),
+                k.reshape(b, kv, h * d),
+                v.reshape(b, kv, h * d),
+                num_heads=h,
+                scale=scale,
+                bias=bias,
+            )
+            return out.reshape(b, s, h, d)
         return flash_attention(q, k, v, scale=scale, bias=bias)
     if impl == "xla_bf16":
         return attention_xla_bf16(q, k, v, scale, bias=bias)

@@ -2,13 +2,23 @@
 
 TPU-native replacement for the reference's CUDA flash-attention call site
 (src/models/ltx_video/ltx_transformer.rs:699-712): BF16 q/k/v on the MXU,
-f32 online-softmax accumulators in VMEM, optional additive key bias (the
--10000-style padding mask used for masked cross-attention).
+f32 softmax in VMEM, optional additive key bias (the -10000-style padding
+mask used for masked cross-attention).
 
 The kernel operates on a fused [B*H, S, D] layout so each block's trailing
 two dims are (block_q, D) — aligned with the TPU's (8, 128) tiling rules.
 Sequence lengths are padded to block multiples; padded key columns are
 masked with -inf inside the kernel.
+
+Block-size strategy (measured on v5e, S=4992, H=32, D=64, distinct q/k/v
+buffers, scan-amortized): the whole key sequence in ONE k-block beats the
+classic small-block online-softmax layout by ~1.6x (4.3 vs 6.9 ms/layer) —
+K/V tiles are then fetched once per head instead of once per q-block (the
+block index is constant across the q grid dimension, so Pallas elides the
+re-copy), and the scores never leave VMEM.  With a single k-block the
+kernel also skips the online-softmax carry state entirely (one-pass exact
+softmax).  ``block_q/block_k=None`` picks this automatically under a VMEM
+budget; the multi-k-block online-softmax path remains for long sequences.
 """
 
 from __future__ import annotations
@@ -21,6 +31,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634
+
+# scores tile (block_q x block_k f32) budget; the rest of VMEM is kept for
+# q/k/v tiles, double-buffering, and the exp temporaries
+_SCORES_VMEM_BUDGET = 11 * 1024 * 1024
 
 
 def _fa_kernel(
@@ -38,6 +53,7 @@ def _fa_kernel(
     block_k: int,
     num_k_blocks: int,
 ):
+    """Multi-k-block online-softmax path (classic FA2)."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -68,7 +84,7 @@ def _fa_kernel(
     m_curr = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
     m_new = jnp.maximum(m_prev, m_curr)
     # exp2 is cheaper than exp on the VPU; exp(x) == exp2(x * log2(e))
-    log2e = jnp.float32(1.4426950408889634)
+    log2e = jnp.float32(_LOG2E)
     alpha = jnp.exp2((m_prev - m_new) * log2e)
     p = jnp.exp2((s - m_new) * log2e)  # [bq, bk] f32
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
@@ -89,6 +105,46 @@ def _fa_kernel(
         o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
 
 
+def _fa_kernel_onepass(
+    q_ref,
+    k_ref,
+    v_ref,
+    bias_ref,
+    o_ref,
+    *,
+    scale: float,
+    kv_len: int,
+):
+    """Single-k-block path: exact one-pass softmax, no carry state."""
+    q = q_ref[0]  # [bq, D]
+    k = k_ref[0]  # [K_pad, D]
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bq, K_pad]
+    s = s * scale
+
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0][None, :].astype(jnp.float32)
+
+    if s.shape[1] != kv_len:  # mask padded key columns
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2((s - m) * jnp.float32(_LOG2E))
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bq, D]
+    o_ref[0] = (pv / l).astype(o_ref.dtype)
+
+
 def _pad_seq(x, axis: int, multiple: int):
     n = x.shape[axis]
     pad = (-n) % multiple
@@ -97,6 +153,20 @@ def _pad_seq(x, axis: int, multiple: int):
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths)
+
+
+def _auto_blocks(s_len: int, kv_len: int, block_q, block_k):
+    """Pick (block_q, block_k): prefer one k-block under the VMEM budget."""
+    kp = _round_up(kv_len, 128)
+    if block_q is None and block_k is None:
+        if 512 * kp * 4 <= _SCORES_VMEM_BUDGET:
+            return min(512, _round_up(s_len, 8)), kp
+        return min(512, _round_up(s_len, 8)), 2048
+    if block_q is None:
+        block_q = max(8, min(512, _SCORES_VMEM_BUDGET // (4 * block_k) // 8 * 8))
+    if block_k is None:
+        block_k = kp if block_q * kp * 4 <= _SCORES_VMEM_BUDGET else 2048
+    return min(block_q, _round_up(s_len, 8)), min(block_k, kp)
 
 
 @functools.partial(
@@ -109,8 +179,8 @@ def flash_attention(
     *,
     scale: float,
     bias=None,
-    block_q: int = 1024,
-    block_k: int = 1024,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool | None = None,
 ):
     """q [B,S,H,D], k/v [B,K,H,D], optional bias [B,1,1,K] -> [B,S,H,D]."""
@@ -119,8 +189,7 @@ def flash_attention(
     b, s_len, h, d = q.shape
     kv_len = k.shape[1]
 
-    block_q = min(block_q, _round_up(s_len, 8))
-    block_k = min(block_k, _round_up(kv_len, 128))
+    block_q, block_k = _auto_blocks(s_len, kv_len, block_q, block_k)
 
     # fuse batch and heads: [B, S, H, D] -> [B*H, S, D]
     def fuse(x):
@@ -131,37 +200,59 @@ def flash_attention(
     vp = _pad_seq(fuse(v), 1, block_k)
     s_pad, k_pad = qp.shape[1], kp.shape[1]
     nq, nk = s_pad // block_q, k_pad // block_k
+    onepass = nk == 1
 
-    grid = (b * h, nq, nk)
-    q_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0))
-    kv_spec = pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0))
-    o_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0))
+    if onepass:
+        grid = (b * h, nq)
+        q_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0))
+        kv_spec = pl.BlockSpec((1, block_k, d), lambda bh, qi: (bh, 0, 0))
+        o_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0))
+        kernel = functools.partial(
+            _fa_kernel_onepass, scale=scale, kv_len=kv_len
+        )
+        bias_spec = pl.BlockSpec(
+            (1, 1, block_k), lambda bh, qi, _h=h: (bh // _h, 0, 0)
+        )
+        scratch_shapes = []
+        semantics = ("parallel", "parallel")
+    else:
+        grid = (b * h, nq, nk)
+        q_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0))
+        kv_spec = pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0))
+        o_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0))
+        kernel = functools.partial(
+            _fa_kernel,
+            scale=scale,
+            kv_len=kv_len,
+            block_k=block_k,
+            num_k_blocks=nk,
+        )
+        bias_spec = pl.BlockSpec(
+            (1, 1, block_k), lambda bh, qi, ki, _h=h: (bh // _h, 0, ki)
+        )
+        scratch_shapes = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+        semantics = ("parallel", "parallel", "arbitrary")
 
     in_specs = [q_spec, kv_spec, kv_spec]
     args = [qp, kp, vp]
-    kernel = functools.partial(
-        _fa_kernel,
-        scale=scale,
-        kv_len=kv_len,
-        block_k=block_k,
-        num_k_blocks=nk,
-    )
     if bias is not None:
         # [B, 1, K_pad] so the block's trailing dims are (1, block_k) with the
         # middle dim full-size — required by TPU tiling rules for any B
         bias3 = _pad_seq(bias.astype(jnp.float32).reshape(b, 1, kv_len), 2, block_k)
-        in_specs.append(
-            pl.BlockSpec((1, 1, block_k), lambda bh, qi, ki, _h=h: (bh // _h, 0, ki))
-        )
+        in_specs.append(bias_spec)
         args.append(bias3)
 
-        def body(q_r, k_r, v_r, b_r, o_r, m_s, l_s, a_s):
-            kernel(q_r, k_r, v_r, b_r, o_r, m_s, l_s, a_s)
+        def body(q_r, k_r, v_r, b_r, o_r, *scr):
+            kernel(q_r, k_r, v_r, b_r, o_r, *scr)
 
     else:
 
-        def body(q_r, k_r, v_r, o_r, m_s, l_s, a_s):
-            kernel(q_r, k_r, v_r, None, o_r, m_s, l_s, a_s)
+        def body(q_r, k_r, v_r, o_r, *scr):
+            kernel(q_r, k_r, v_r, None, o_r, *scr)
 
     out = pl.pallas_call(
         body,
@@ -169,13 +260,9 @@ def flash_attention(
         in_specs=in_specs,
         out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         interpret=interpret,
     )(*args)

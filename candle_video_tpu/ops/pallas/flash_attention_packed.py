@@ -1,0 +1,168 @@
+"""Lane-blocked flash attention: heads packed along the lane dimension.
+
+The classic TPU flash-attention layout ([B*H, S, D]) forces four 20 MB
+transposes per layer around the kernel ([B,S,H*D] -> [B,H,S,D] for q/k/v and
+back for the output) — measured ~34 ms/step at LTX 2B shapes, plus it keeps
+the MXU at D=64 utilization.  This kernel instead reads q/k/v in their
+NATURAL projection layout [B, S, H*D] and blocks the lane dimension in
+128-lane groups = ceil(128/D) heads per program:
+
+- D=64 (LTX 2B, 32 heads): 2 heads per program, zero layout changes,
+- D=128 (LTX 13B): 1 head per program, still zero layout changes.
+
+Each program runs an exact one-pass softmax over the full key sequence
+(single k-block; K/V lane-blocks are fetched once per (batch, head-pair)
+because their index is constant along the q grid axis).  Requires the
+scores tile (heads_per_block * block_q * K_pad f32) to fit VMEM — callers
+fall back to the transposing multi-k-block kernel otherwise (the
+dispatcher in ops/attention.py handles this).
+
+Reference call site: src/models/ltx_video/ltx_transformer.rs:699-712.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+_LOG2E = 1.4426950408889634
+_SCORES_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, kv_len, head_dim):
+    q = q_ref[0]  # [bq, L]   (L = heads_per_block * D lanes)
+    k = k_ref[0]  # [Kp, L]
+    v = v_ref[0]
+    lanes = q.shape[-1]
+    outs = []
+    for h in range(lanes // head_dim):
+        lo = h * head_dim
+        qh = q[:, lo : lo + head_dim]
+        kh = k[:, lo : lo + head_dim]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, Kp]
+        s = s * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0][None, :].astype(jnp.float32)
+        if s.shape[1] != kv_len:  # mask padded key columns
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2((s - m) * jnp.float32(_LOG2E))
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v[:, lo : lo + head_dim],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, D]
+        outs.append(pv / l)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def packed_viable(s_len: int, kv_len: int, num_heads: int, head_dim: int) -> bool:
+    """True when this kernel applies: lane grouping works and scores fit."""
+    if head_dim > 128 or 128 % head_dim != 0:
+        return False
+    hp = 128 // head_dim
+    if num_heads % hp != 0:
+        return False
+    kp = _round_up(kv_len, 128)
+    # smallest usable q-block must keep the scores tile under budget
+    return hp * 64 * kp * 4 <= _SCORES_VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_q", "interpret")
+)
+def flash_attention_packed(
+    q,  # [B, S, H*D]
+    k,  # [B, K, H*D]
+    v,  # [B, K, H*D]
+    *,
+    num_heads: int,
+    scale: float,
+    bias=None,  # [B, 1, 1, K]
+    block_q: int | None = None,
+    interpret: bool | None = None,
+):
+    """Returns [B, S, H*D]; exact one-pass softmax per head."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    b, s_len, hd = q.shape
+    kv_len = k.shape[1]
+    head_dim = hd // num_heads
+    hp = 128 // head_dim  # heads per 128-lane block
+    lanes = hp * head_dim  # == 128
+    n_groups = num_heads // hp
+
+    kp = _round_up(kv_len, 128)
+    if block_q is None:
+        budget = _SCORES_VMEM_BUDGET // (hp * kp * 4)
+        block_q = max(64, min(256, budget // 8 * 8))
+    block_q = min(block_q, _round_up(s_len, 8))
+
+    def pad(x, mult):
+        n = x.shape[1]
+        extra = (-n) % mult
+        return jnp.pad(x, ((0, 0), (0, extra), (0, 0))) if extra else x
+
+    qp = pad(q, block_q)
+    kpad = pad(k, 128)
+    vp = pad(v, 128)
+    nq = qp.shape[1] // block_q
+
+    grid = (b * n_groups, nq)
+    q_spec = pl.BlockSpec(
+        (1, block_q, lanes), lambda bg, qi, _g=n_groups: (bg // _g, qi, bg % _g)
+    )
+    kv_spec = pl.BlockSpec(
+        (1, kp, lanes), lambda bg, qi, _g=n_groups: (bg // _g, 0, bg % _g)
+    )
+    o_spec = q_spec
+
+    in_specs = [q_spec, kv_spec, kv_spec]
+    args = [qp, kpad, vp]
+    kernel = functools.partial(
+        _kernel, scale=scale, kv_len=kv_len, head_dim=head_dim
+    )
+    if bias is not None:
+        bias3 = bias.astype(jnp.float32).reshape(b, 1, kv_len)
+        if kp != kv_len:
+            bias3 = jnp.pad(bias3, ((0, 0), (0, 0), (0, kp - kv_len)))
+        in_specs.append(
+            pl.BlockSpec((1, 1, kp), lambda bg, qi, _g=n_groups: (bg // _g, 0, 0))
+        )
+        args.append(bias3)
+
+        def body(q_r, k_r, v_r, b_r, o_r):
+            kernel(q_r, k_r, v_r, b_r, o_r)
+
+    else:
+
+        def body(q_r, k_r, v_r, o_r):
+            kernel(q_r, k_r, v_r, None, o_r)
+
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+    return out[:, :s_len]
