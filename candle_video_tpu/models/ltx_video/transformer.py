@@ -30,7 +30,7 @@ from ...ops.activations import gelu_tanh, silu
 from ...ops.attention import attention
 from ...ops.embeddings import sinusoidal_timestep_embedding
 from ...ops.norms import layer_norm, rms_norm
-from ...ops.rope import apply_rotary_emb
+
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,17 +254,14 @@ def _ltx_attention(
     q = rms_norm(q, p["norm_q"]["weight"], eps=1e-5)
     k = rms_norm(k, p["norm_k"]["weight"], eps=1e-5)
 
-    if rope is not None:
-        cos, sin = rope
-        q = apply_rotary_emb(q, cos, sin)
-        k = apply_rotary_emb(k, cos, sin)
-
     q = q.reshape(b, s, h, hd)
     k = k.reshape(b, k_len, h, hd)
     v = v.reshape(b, k_len, h, hd)
 
+    # rope (when set) is applied inside attention: in-VMEM in the packed
+    # Pallas kernel, or as the standard XLA pass for other impls
     scale = 1.0 / math.sqrt(hd)
-    out = attention(q, k, v, scale, bias=bias, impl=attn_impl)
+    out = attention(q, k, v, scale, bias=bias, impl=attn_impl, rope=rope)
     out = out.reshape(b, s, h * hd)
     return _apply_linear(p["to_out"], out)
 

@@ -65,8 +65,24 @@ def attention_xla_bf16(q, k, v, scale: float, bias=None):
 _SHORT_KV = 512
 
 
-def attention(q, k, v, scale: float, bias=None, impl: str = "auto"):
-    """Scaled dot-product attention over [B, S, H, D] layouts."""
+def _apply_rope_4d(x, cos, sin):
+    """Rotate [B,S,H,D] with full-width [.., S, H*D] tables (same pairs)."""
+    from .rope import apply_rotary_emb
+
+    b, s, h, d = x.shape
+    return apply_rotary_emb(
+        x, cos.reshape(*cos.shape[:-1], h, d), sin.reshape(*sin.shape[:-1], h, d)
+    )
+
+
+def attention(q, k, v, scale: float, bias=None, impl: str = "auto", rope=None):
+    """Scaled dot-product attention over [B, S, H, D] layouts.
+
+    ``rope``: optional (cos, sin) full-width tables meaning q and k arrive
+    UNROTATED.  On the packed Pallas path q rotates inside the kernel (exact
+    roll-based formulation, never materialized to HBM) and k rotates in one
+    XLA pass; other implementations rotate both up front.
+    """
     if impl == "auto":
         if _default_backend() not in ("tpu", "axon"):
             impl = "xla"
@@ -86,6 +102,8 @@ def attention(q, k, v, scale: float, bias=None, impl: str = "auto"):
         if packed_viable(s, kv, h, d):
             # natural-layout kernel: no q/k/v/out transposes (~34 ms/step
             # saved at LTX 2B shapes), one-pass exact softmax
+            if rope is not None:
+                k = _apply_rope_4d(k, rope[0], rope[1])
             out = flash_attention_packed(
                 q.reshape(b, s, h * d),
                 k.reshape(b, kv, h * d),
@@ -93,9 +111,16 @@ def attention(q, k, v, scale: float, bias=None, impl: str = "auto"):
                 num_heads=h,
                 scale=scale,
                 bias=bias,
+                rope_q=rope,
             )
             return out.reshape(b, s, h, d)
+        if rope is not None:
+            q = _apply_rope_4d(q, rope[0], rope[1])
+            k = _apply_rope_4d(k, rope[0], rope[1])
         return flash_attention(q, k, v, scale=scale, bias=bias)
+    if rope is not None:
+        q = _apply_rope_4d(q, rope[0], rope[1])
+        k = _apply_rope_4d(k, rope[0], rope[1])
     if impl == "xla_bf16":
         return attention_xla_bf16(q, k, v, scale, bias=bias)
     return attention_xla(q, k, v, scale, bias=bias)

@@ -13,9 +13,17 @@ NATURAL projection layout [B, S, H*D] and blocks the lane dimension in
 Each program runs an exact one-pass softmax over the full key sequence
 (single k-block; K/V lane-blocks are fetched once per (batch, head-pair)
 because their index is constant along the q grid axis).  Requires the
-scores tile (heads_per_block * block_q * K_pad f32) to fit VMEM — callers
-fall back to the transposing multi-k-block kernel otherwise (the
-dispatcher in ops/attention.py handles this).
+scores tile (block_q * K_pad f32) to fit VMEM — callers fall back to the
+transposing multi-k-block kernel otherwise (the dispatcher in
+ops/attention.py handles this).
+
+The q-side rotary embedding (``rope_q=(cos, sin)``) is applied INSIDE the
+kernel — exact f32 math equivalent to ops/rope.py::apply_rotary_emb via the
+roll identity ``x_rot = roll(x,-1)*(-sin*even) + roll(x,+1)*(sin*odd)``
+(the even/odd masks come from an in-kernel iota, and also cancel roll
+wrap-around across head/block boundaries) — so the rotated q never
+materializes to HBM.  The k-side rotation stays outside: its full-length
+f32 tables would keep ~5 MB resident and overflow VMEM at LTX shapes.
 
 Reference call site: src/models/ltx_video/ltx_transformer.rs:699-712.
 """
@@ -31,11 +39,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634
-_SCORES_VMEM_BUDGET = 11 * 1024 * 1024
+_SCORES_VMEM_BUDGET = 6 * 1024 * 1024
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, kv_len, head_dim):
+def _rotate(x, cos, sin):
+    """Interleaved-pair rotation in f32 (== ops/rope.py apply_rotary_emb)."""
+    xf = x.astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, xf.shape, xf.ndim - 1)
+    even = (lane % 2) == 0
+    sin_e = jnp.where(even, -sin, 0.0)
+    sin_o = jnp.where(even, 0.0, sin)
+    out = xf * cos + jnp.roll(xf, -1, axis=-1) * sin_e
+    out = out + jnp.roll(xf, 1, axis=-1) * sin_o
+    return out.astype(x.dtype)
+
+
+def _kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    bias_ref,
+    qcos_ref,
+    qsin_ref,
+    o_ref,
+    *,
+    scale,
+    kv_len,
+    head_dim,
+):
     q = q_ref[0]  # [bq, L]   (L = heads_per_block * D lanes)
+    if qcos_ref is not None:
+        # q-side rotation in VMEM (k is rotated outside: its full-length f32
+        # tables would keep ~5 MB resident and overflow VMEM at these shapes)
+        q = _rotate(q, qcos_ref[0], qsin_ref[0])
     k = k_ref[0]  # [Kp, L]
     v = v_ref[0]
     lanes = q.shape[-1]
@@ -79,7 +115,7 @@ def packed_viable(s_len: int, kv_len: int, num_heads: int, head_dim: int) -> boo
         return False
     kp = _round_up(kv_len, 128)
     # smallest usable q-block must keep the scores tile under budget
-    return hp * 64 * kp * 4 <= _SCORES_VMEM_BUDGET
+    return 64 * kp * 4 <= _SCORES_VMEM_BUDGET
 
 
 @functools.partial(
@@ -93,6 +129,7 @@ def flash_attention_packed(
     num_heads: int,
     scale: float,
     bias=None,  # [B, 1, 1, K]
+    rope_q=None,  # (cos, sin) each [1 or B, S, H*D] f32 — q not yet rotated
     block_q: int | None = None,
     interpret: bool | None = None,
 ):
@@ -108,7 +145,7 @@ def flash_attention_packed(
 
     kp = _round_up(kv_len, 128)
     if block_q is None:
-        budget = _SCORES_VMEM_BUDGET // (hp * kp * 4)
+        budget = _SCORES_VMEM_BUDGET // (kp * 4)
         block_q = max(64, min(256, budget // 8 * 8))
     block_q = min(block_q, _round_up(s_len, 8))
 
@@ -133,10 +170,9 @@ def flash_attention_packed(
 
     in_specs = [q_spec, kv_spec, kv_spec]
     args = [qp, kpad, vp]
-    kernel = functools.partial(
-        _kernel, scale=scale, kv_len=kv_len, head_dim=head_dim
-    )
-    if bias is not None:
+    has_bias = bias is not None
+    has_rope = rope_q is not None
+    if has_bias:
         bias3 = bias.astype(jnp.float32).reshape(b, 1, kv_len)
         if kp != kv_len:
             bias3 = jnp.pad(bias3, ((0, 0), (0, 0), (0, kp - kv_len)))
@@ -144,14 +180,29 @@ def flash_attention_packed(
             pl.BlockSpec((1, 1, kp), lambda bg, qi, _g=n_groups: (bg // _g, 0, 0))
         )
         args.append(bias3)
+    if has_rope:
+        cos, sin = rope_q
+        qcos_spec = pl.BlockSpec(
+            (1, block_q, lanes), lambda bg, qi, _g=n_groups: (0, qi, bg % _g)
+        )
+        in_specs.extend([qcos_spec, qcos_spec])
+        args.extend(
+            [pad(cos.astype(jnp.float32), block_q), pad(sin.astype(jnp.float32), block_q)]
+        )
 
-        def body(q_r, k_r, v_r, b_r, o_r):
-            kernel(q_r, k_r, v_r, b_r, o_r)
-
-    else:
-
-        def body(q_r, k_r, v_r, o_r):
-            kernel(q_r, k_r, v_r, None, o_r)
+    kernel = functools.partial(
+        _kernel, scale=scale, kv_len=kv_len, head_dim=head_dim
+    )
+    def body(q_r, k_r, v_r, *rest):
+        i = 0
+        b_r = qc_r = qs_r = None
+        if has_bias:
+            b_r = rest[i]
+            i += 1
+        if has_rope:
+            qc_r, qs_r = rest[i : i + 2]
+            i += 2
+        kernel(q_r, k_r, v_r, b_r, qc_r, qs_r, rest[i])
 
     out = pl.pallas_call(
         body,

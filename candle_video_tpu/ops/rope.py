@@ -111,6 +111,24 @@ def default_grid_normalized(
     return grid
 
 
+def split_rope_sin(sin):
+    """Split the interleaved sin table for roll-based in-kernel rotation.
+
+    apply_rotary_emb computes ``out = x*cos + x_rot*sin`` with
+    ``x_rot = (-x1, x0, -x3, x2, ...)``.  Equivalently:
+    ``out = x*cos + roll(x,-1)*sin_e + roll(x,+1)*sin_o`` where
+    ``sin_e[2i] = -sin[2i], sin_e[odd] = 0`` and
+    ``sin_o[2i+1] = sin[2i+1], sin_o[even] = 0``.  The zeroed lanes also
+    cancel roll wrap-around across head/block boundaries.  Exact (no
+    approximation); lets the attention kernel rotate q in VMEM.
+    """
+    dim = sin.shape[-1]
+    lane = np.arange(dim)
+    even = jnp.asarray((lane % 2 == 0).astype(np.float32))
+    odd = jnp.asarray((lane % 2 == 1).astype(np.float32))
+    return -sin * even, sin * odd
+
+
 def apply_rotary_emb(x, cos, sin):
     """x [..., S, C] with (cos, sin) [..., S, C]; rotation math in f32.
 
