@@ -286,14 +286,51 @@ class LtxPipeline:
         return generate(self, **kwargs)
 
 
-def check_inputs(height: int, width: int, prompt, prompt_embeds):
-    """t2v_pipeline.rs:313-365."""
+def check_inputs(
+    height: int,
+    width: int,
+    prompt,
+    prompt_embeds,
+    negative_prompt_embeds=None,
+    prompt_attention_mask=None,
+    negative_prompt_attention_mask=None,
+):
+    """Full validation surface of the reference (t2v_pipeline.rs:313-365)."""
     if height % 32 != 0 or width % 32 != 0:
-        raise ValueError(f"height/width must be divisible by 32, got {height}x{width}")
+        raise ValueError(
+            f"`height` and `width` must be divisible by 32, got {height} and {width}"
+        )
     if prompt is not None and prompt_embeds is not None:
-        raise ValueError("cannot pass both prompt and prompt_embeds")
+        raise ValueError("Cannot forward both `prompt` and `prompt_embeds`.")
     if prompt is None and prompt_embeds is None:
-        raise ValueError("provide either prompt or prompt_embeds")
+        raise ValueError("Provide either `prompt` or `prompt_embeds`.")
+    if prompt_embeds is not None and prompt_attention_mask is None:
+        raise ValueError(
+            "Must provide `prompt_attention_mask` when specifying `prompt_embeds`."
+        )
+    if negative_prompt_embeds is not None and negative_prompt_attention_mask is None:
+        raise ValueError(
+            "Must provide `negative_prompt_attention_mask` when specifying "
+            "`negative_prompt_embeds`."
+        )
+    if (
+        prompt_embeds is not None
+        and negative_prompt_embeds is not None
+        and tuple(prompt_embeds.shape) != tuple(negative_prompt_embeds.shape)
+    ):
+        raise ValueError(
+            "`prompt_embeds` and `negative_prompt_embeds` must have the same shape."
+        )
+    if (
+        prompt_attention_mask is not None
+        and negative_prompt_attention_mask is not None
+        and tuple(prompt_attention_mask.shape)
+        != tuple(negative_prompt_attention_mask.shape)
+    ):
+        raise ValueError(
+            "`prompt_attention_mask` and `negative_prompt_attention_mask` must "
+            "have the same shape."
+        )
 
 
 def generate(
@@ -341,7 +378,15 @@ def generate(
     if isinstance(negative_prompt, str):
         negative_prompt = [negative_prompt]
 
-    check_inputs(height, width, prompt, prompt_embeds)
+    check_inputs(
+        height,
+        width,
+        prompt,
+        prompt_embeds,
+        negative_prompt_embeds,
+        prompt_attention_mask,
+        negative_prompt_attention_mask,
+    )
 
     num_inference_steps = num_inference_steps or inf.num_inference_steps
     guidance_scale = inf.guidance_scale if guidance_scale is None else guidance_scale

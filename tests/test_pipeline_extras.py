@@ -131,3 +131,58 @@ def test_embedding_cache():
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
     pipe.encode_prompt(["other"], 8)
     assert calls["n"] == 2
+
+
+# ---------------------------------------------------------------------------
+# check_inputs: the reference's full rejection surface (t2v_pipeline.rs:313-365)
+# ---------------------------------------------------------------------------
+
+
+def test_check_inputs_rejections():
+    import numpy as np
+    import pytest
+
+    from candle_video_tpu.models.ltx_video.pipeline import check_inputs
+
+    emb = np.zeros((1, 128, 4096), np.float32)
+    mask = np.ones((1, 128), np.float32)
+
+    with pytest.raises(ValueError, match="divisible by 32"):
+        check_inputs(500, 768, ["p"], None)
+    with pytest.raises(ValueError, match="both `prompt` and `prompt_embeds`"):
+        check_inputs(512, 768, ["p"], emb, prompt_attention_mask=mask)
+    with pytest.raises(ValueError, match="either `prompt` or `prompt_embeds`"):
+        check_inputs(512, 768, None, None)
+    with pytest.raises(ValueError, match="Must provide `prompt_attention_mask`"):
+        check_inputs(512, 768, None, emb)
+    with pytest.raises(
+        ValueError, match="Must provide `negative_prompt_attention_mask`"
+    ):
+        check_inputs(
+            512, 768, None, emb,
+            negative_prompt_embeds=emb, prompt_attention_mask=mask,
+        )
+    with pytest.raises(ValueError, match="must have the same shape"):
+        check_inputs(
+            512, 768, None, emb,
+            negative_prompt_embeds=emb[:, :64],
+            prompt_attention_mask=mask,
+            negative_prompt_attention_mask=mask,
+        )
+    with pytest.raises(
+        ValueError, match="`prompt_attention_mask` and `negative_prompt_attention_mask`"
+    ):
+        check_inputs(
+            512, 768, None, emb,
+            negative_prompt_embeds=emb,
+            prompt_attention_mask=mask,
+            negative_prompt_attention_mask=mask[:, :64],
+        )
+    # valid combinations pass
+    check_inputs(512, 768, ["p"], None)
+    check_inputs(
+        512, 768, None, emb,
+        negative_prompt_embeds=emb,
+        prompt_attention_mask=mask,
+        negative_prompt_attention_mask=mask,
+    )
