@@ -284,7 +284,7 @@ def test_e2e_precomputed_embeds(tiny_pipeline, rng):
 def test_e2e_input_validation(tiny_pipeline):
     with pytest.raises(ValueError, match="divisible by 32"):
         P.generate(tiny_pipeline, prompt="x", height=50, width=64)
-    with pytest.raises(ValueError, match="either prompt"):
+    with pytest.raises(ValueError, match="either `prompt`"):
         P.generate(tiny_pipeline, height=64, width=64)
 
 
