@@ -1,13 +1,18 @@
 from .mesh import (
     make_mesh,
-    transformer_shardings,
-    shard_transformer_params,
+    replicate,
     shard_batch,
+    shard_transformer_params,
+    transformer_shardings,
 )
+from .sequence import ring_attention, sequence_parallel_attention
 
 __all__ = [
     "make_mesh",
-    "transformer_shardings",
-    "shard_transformer_params",
+    "replicate",
+    "ring_attention",
+    "sequence_parallel_attention",
     "shard_batch",
+    "shard_transformer_params",
+    "transformer_shardings",
 ]

@@ -2,13 +2,22 @@
 
 The reference has no long-sequence parallelism (SURVEY.md §2.3 — sequence
 length is tamed by VAE tiling instead); this is the new capability for very
-long clips whose token count exceeds one chip: the query sequence shards
-over a mesh axis, K/V are all-gathered over ICI inside ``shard_map``, and
-each shard runs the flash kernel on its local q block against the full K/V.
+long clips whose token count exceeds one chip.  Two schemes:
 
-Memory per chip: O(S/n · S) attention scores instead of O(S²); K/V gathered
-once per layer (ring-attention streaming is a further refinement — see
-docs/roadmap.md).
+- ``sequence_parallel_attention`` (all-gather): the query sequence shards
+  over a mesh axis, K/V are all-gathered over ICI inside ``shard_map``, and
+  each shard runs the flash kernel on its local q block against the full
+  K/V.  Per-chip memory: O(S/n · S) scores + O(S) gathered K/V.
+- ``ring_attention`` (streaming): K/V chunks stay sharded and rotate around
+  the ring via ``ppermute`` while each chip accumulates blockwise-softmax
+  partial results against its local q shard.  Per-chip memory:
+  O(S/n · S/n) scores + O(S/n) resident K/V — nothing ever holds the full
+  sequence, so max clip length scales linearly with the ring size.  The
+  ppermute of chunk j+1 is independent of the attention math on chunk j,
+  so XLA's latency-hiding scheduler overlaps communication with compute.
+  Non-causal and bias-free (softmax over keys is permutation-invariant, so
+  no global-position bookkeeping is needed); pass bias via the all-gather
+  path instead.
 """
 
 from __future__ import annotations
@@ -65,3 +74,82 @@ def sequence_parallel_attention(
     )
     args = (q, k, v) + ((bias,) if bias is not None else ())
     return shard(*args)
+
+
+def _chunk_attention_lse(qc, kc, vc, scale: float):
+    """Per-chunk attention returning unnormalized (acc, m, l) for blockwise
+    combination: BF16 matmuls with f32-accumulated logits and f32 softmax
+    (flash-attention numerics)."""
+    qf = jnp.swapaxes(qc, 1, 2)  # [B, H, Sq, D]
+    kf = jnp.swapaxes(kc, 1, 2)
+    vf = jnp.swapaxes(vc, 1, 2)
+    s = jnp.einsum(
+        "bhsd,bhkd->bhsk", qf, kf, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    m = jnp.max(s, axis=-1)  # [B, H, Sq]
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum(
+        "bhsk,bhkd->bhsd", p.astype(vc.dtype), vf,
+        preferred_element_type=jnp.float32,
+    )
+    return acc, m, l
+
+
+def ring_attention(
+    q,
+    k,
+    v,
+    scale: float,
+    mesh: Mesh,
+    axis_name: str = "tp",
+):
+    """Streaming ring attention: q/k/v [B, S, H, D], S divisible by the
+    mesh axis size.  K/V shards rotate around the ring; each chip holds only
+    its S/n chunk at any moment.  Output sharding matches q.
+
+    Exactness: the blockwise online-softmax combination is the standard
+    flash-attention recurrence in log-space — results match the all-gather
+    path to f32 accumulation error.
+    """
+    n = mesh.shape[axis_name]
+    if q.shape[1] % n != 0:
+        raise ValueError(
+            f"sequence length {q.shape[1]} not divisible by mesh axis "
+            f"'{axis_name}' size {n}"
+        )
+
+    spec = P(None, axis_name, None, None)
+
+    def inner(qc, kc, vc):
+        b, sq, h, d = qc.shape
+        perm = [(j, (j + 1) % n) for j in range(n)]
+
+        def body(carry, _):
+            kcur, vcur, m_run, l_run, acc_run = carry
+            # rotate the NEXT chunk while computing on the current one —
+            # independent ops, overlapped by the latency-hiding scheduler
+            knxt = jax.lax.ppermute(kcur, axis_name, perm)
+            vnxt = jax.lax.ppermute(vcur, axis_name, perm)
+            acc_i, m_i, l_i = _chunk_attention_lse(qc, kcur, vcur, scale)
+            m_new = jnp.maximum(m_run, m_i)
+            a = jnp.exp(m_run - m_new)
+            bb = jnp.exp(m_i - m_new)
+            l_new = l_run * a + l_i * bb
+            acc_new = acc_run * a[..., None] + acc_i * bb[..., None]
+            return (knxt, vnxt, m_new, l_new, acc_new), None
+
+        m0 = jnp.full((b, h, sq), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((b, h, sq), jnp.float32)
+        acc0 = jnp.zeros((b, h, sq, d), jnp.float32)
+        (_, _, m_f, l_f, acc_f), _ = jax.lax.scan(
+            body, (kc, vc, m0, l0, acc0), None, length=n
+        )
+        out = (acc_f / l_f[..., None]).astype(qc.dtype)
+        return jnp.swapaxes(out, 1, 2)  # [B, Sq, H, D]
+
+    shard = jax.shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return shard(q, k, v)

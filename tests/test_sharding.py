@@ -205,3 +205,54 @@ def test_sequence_parallel_attention(setup):
 
     with pytest.raises(ValueError, match="not divisible"):
         sequence_parallel_attention(q[:, :63], k, v, scale, mesh)
+
+
+def test_ring_attention_matches_all_gather_and_oracle():
+    """Streaming ring attention == all-gather SP == single-device oracle."""
+    from candle_video_tpu.ops.attention import attention_xla_bf16
+    from candle_video_tpu.parallel.sequence import (
+        ring_attention,
+        sequence_parallel_attention,
+    )
+
+    mesh = make_mesh(dp=1, tp=8)
+    rng = np.random.default_rng(7)
+    B, S, H, D = 2, 64, 4, 16
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    scale = 0.25
+
+    oracle = np.asarray(attention_xla_bf16(q, k, v, scale))
+    ring = np.asarray(ring_attention(q, k, v, scale, mesh))
+    gather = np.asarray(
+        sequence_parallel_attention(q, k, v, scale, mesh, impl="xla_bf16")
+    )
+    np.testing.assert_allclose(ring, oracle, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(ring, gather, atol=2e-5, rtol=2e-5)
+
+
+def test_ring_attention_rejects_indivisible_seq():
+    from candle_video_tpu.parallel.sequence import ring_attention
+
+    mesh = make_mesh(dp=1, tp=8)
+    q = jnp.zeros((1, 63, 2, 8), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        ring_attention(q, q, q, 0.3, mesh)
+
+
+def test_ring_attention_hlo_has_collective_permute():
+    """The lowering must stream chunks via collective-permute (a ring), not
+    gather the full sequence."""
+    from candle_video_tpu.parallel.sequence import ring_attention
+
+    mesh = make_mesh(dp=1, tp=8)
+    q = jnp.zeros((1, 64, 2, 8), jnp.float32)
+    hlo = (
+        jax.jit(lambda a: ring_attention(a, a, a, 0.3, mesh))
+        .lower(q)
+        .compile()
+        .as_text()
+    )
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
