@@ -1,0 +1,151 @@
+"""On-TPU BF16 production-numerics parity vs a CPU f32 oracle.
+
+The reference's bar: the real execution path (CUDA BF16 + flash-attn) must
+hold PSNR > 35 dB / per-step latent MSE < 1e-3 against the Python oracle
+(tests/verify_pipeline_parity.rs:1-9, verify_vae_decode_parity.rs:13-45).
+Round-1 gap (VERDICT.md): all parity ran CPU-f32 with the XLA attention
+path; the production bf16 + Pallas dispatch was never pushed through.
+
+These tests run ONLY on the real chip (CVT_TEST_PLATFORM=axon); each
+computes its oracle in a forced-CPU subprocess (f32, XLA attention) from
+the same seeds, then runs the production path (bf16 params, attn_impl
+"auto" = packed Pallas self-attention with in-kernel RoPE + xla_bf16
+cross-attention) on the TPU and asserts the reference envelopes.
+
+Run:  CVT_TEST_PLATFORM=axon python -m pytest tests/test_tpu_parity.py -v
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("CVT_TEST_PLATFORM", "cpu") != "axon",
+    reason="on-TPU parity suite; set CVT_TEST_PLATFORM=axon on the real chip",
+)
+
+_ORACLE_SRC = r"""
+import json, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from tests.test_tpu_parity import _run_pipeline
+out = _run_pipeline("float32", "xla")
+np.savez({path!r}, **out)
+print("oracle done")
+"""
+
+
+def _run_pipeline(dtype_name: str, attn_impl: str):
+    """Deterministic tiny-resolution generation on the current backend.
+
+    Full production 2B DiT config (28 layers, d=2048) + full VAE decoder at
+    256x384x9f (S=192), 3 denoise steps — the model numerics are real, only
+    the token count is small.
+    """
+    import jax.numpy as jnp
+
+    from candle_video_tpu.models.ltx_video import pipeline as P
+    from candle_video_tpu.models.ltx_video import vae as V
+    from candle_video_tpu.models.ltx_video.configs import get_config_by_version
+    from candle_video_tpu.models.ltx_video.transformer import init_params
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    full = get_config_by_version("0.9.8-2b-distilled")
+    params = init_params(jax.random.PRNGKey(11), full.transformer, dtype=dtype)
+    vae_params = init_vae_params(jax.random.PRNGKey(12), V.LtxVaeConfig(), dtype)
+
+    rng = np.random.default_rng(3)
+    embeds = jnp.asarray(rng.normal(size=(1, 128, 4096)) * 0.05, jnp.float32)
+    mask = np.ones((1, 128), np.float32)
+    mask[:, 96:] = 0.0
+
+    pipe = P.LtxPipeline(
+        config=full,
+        transformer_params=params,
+        vae_params=vae_params,
+    )
+    latents = P.generate(
+        pipe,
+        prompt_embeds=embeds,
+        prompt_attention_mask=jnp.asarray(mask),
+        height=256,
+        width=384,
+        num_frames=9,
+        num_inference_steps=3,
+        sigmas=[1.0, 0.85, 0.5],
+        seed=5,
+        output_type="latent",
+        attn_impl=attn_impl,
+    )
+    video = P.generate(
+        pipe,
+        prompt_embeds=embeds,
+        prompt_attention_mask=jnp.asarray(mask),
+        height=256,
+        width=384,
+        num_frames=9,
+        num_inference_steps=3,
+        sigmas=[1.0, 0.85, 0.5],
+        seed=5,
+        output_type="tensor",
+        attn_impl=attn_impl,
+    )
+    return {
+        "latents": np.asarray(latents, np.float32),
+        "video": np.asarray(video, np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("oracle") / "cpu_f32.npz")
+    code = _ORACLE_SRC.format(repo=_REPO, path=path)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=_REPO,
+        timeout=3600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    data = np.load(path)
+    return {k: data[k] for k in data.files}
+
+
+def _psnr(a, b, data_range=255.0):
+    mse = float(np.mean((a - b) ** 2))
+    return float("inf") if mse == 0 else 10.0 * np.log10(data_range**2 / mse)
+
+
+def test_e2e_bf16_production_vs_cpu_f32(oracle):
+    assert jax.devices()[0].platform in ("tpu", "axon")
+    got = _run_pipeline("bfloat16", "auto")
+
+    lat_mse = float(np.mean((got["latents"] - oracle["latents"]) ** 2))
+    psnr = _psnr(got["video"], oracle["video"])
+    print(f"\nTPU bf16 vs CPU f32: latent MSE {lat_mse:.3e}, video PSNR {psnr:.1f} dB")
+    # reference envelopes (verify_pipeline_parity.rs:1-9)
+    assert lat_mse < 1e-3, lat_mse
+    assert psnr > 35.0, psnr
+
+
+def test_e2e_tpu_f32_xla_vs_cpu_f32(oracle):
+    """Same-path control: TPU f32 XLA attention vs CPU f32 — isolates the
+    backend difference from the bf16/Pallas difference."""
+    got = _run_pipeline("float32", "xla")
+    lat_mse = float(np.mean((got["latents"] - oracle["latents"]) ** 2))
+    psnr = _psnr(got["video"], oracle["video"])
+    print(f"\nTPU f32/xla vs CPU f32: latent MSE {lat_mse:.3e}, PSNR {psnr:.1f} dB")
+    assert lat_mse < 1e-5, lat_mse
+    assert psnr > 45.0, psnr
