@@ -1,13 +1,24 @@
-"""Headline benchmark: 2B denoise-step latency at 512x768x97f (S=4992).
+"""Headline benchmark suite for the driver: 2B LTX at 512x768x97f (S=4992).
 
-Measures the PRODUCTION denoise path — the jitted ``lax.scan`` loop of
-pipeline.denoise_loop (7 distilled steps, one dispatch) — and reports
-per-step latency.  Prints ONE JSON line {"metric","value","unit","vs_baseline"}.
+Prints one JSON line per metric; the HEADLINE (denoise step latency on the
+production jitted ``lax.scan`` path) is printed LAST so the driver's tail
+capture records every row:
 
-Baseline: the reference's extrapolated 28-layer per-denoise-step time on its
-own hardware (RTX 3060, flash-attn BF16): ~260 ms @ seq 4096 and ~500 ms @
-seq 8192 (docs/benchmark_results.md:43-47); linear interpolation to S=4992
-gives ~312.5 ms/step.  vs_baseline = baseline_ms / ours_ms (>1 = faster).
+1. t5_encode_ms_xxl_int8_128tok — FULL-SIZE T5-XXL (24L, d=4096, d_ff=10240)
+   with int8 weights resident in HBM (~5.1 GiB) and dequant fused into the
+   Pallas matmul (reference memory semantics, quantized_t5_encoder.rs:60-71).
+2. vae_decode_ms_512x768x97f    — untiled 3D VAE decode (the reference needs
+   30-60 s tiled on its 12 GB card; one v5e chip decodes untiled).
+3. e2e_s_512x768x97f            — full generate(): T5-XXL int8 encode ->
+   7-step distilled denoise -> untiled VAE decode -> uint8 video.
+4. denoise_step_ms_2b_512x768x97f (HEADLINE) — per-step latency of the
+   jitted 7-step denoise scan.
+
+Baselines (reference docs/benchmark_results.md): denoise ~312.5 ms/step
+(260 @ seq 4096 / 500 @ seq 8192 on RTX 3060, interpolated to S=4992);
+VAE decode 30 s (lower bound of its 30-60 s range); e2e 35 s (lower bound
+of 35-65 s).  vs_baseline = baseline / ours (>1 = faster).  T5 has no
+reference GPU number (its softmax ran on the CPU) — vs_baseline is null.
 
 Timing note: on the axon backend block_until_ready may return early and
 buffer donation crashes the runtime; timing uses forced host fetches.
@@ -15,10 +26,90 @@ buffer donation crashes the runtime; timing uses forced host fetches.
 
 from __future__ import annotations
 
+import functools
 import json
+import os
 import time
 
-BASELINE_MS = 260.0 + (4992 - 4096) * (500.0 - 260.0) / (8192 - 4096)  # ~312.5
+DENOISE_BASELINE_MS = 260.0 + (4992 - 4096) * (500.0 - 260.0) / (8192 - 4096)
+VAE_BASELINE_MS = 30_000.0
+E2E_BASELINE_S = 35.0
+
+# persistent XLA compilation cache: amortizes the one-time remote compiles
+# across driver rounds (measured 230 s -> 23 s cold-start in round 1)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/candle_video_tpu_xla"))
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,
+    }), flush=True)
+
+
+def _timed_best(fn, sync, n=3):
+    out = fn()
+    sync(out)
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        out = fn()
+        sync(out)
+        best = min(best, time.time() - t0)
+    return best, out
+
+
+def build_t5_int8_params(cfg):
+    """Full-size T5-XXL int8 params built ON-DEVICE (deterministic fill) —
+    a 5 GiB host->device transfer over the tunnel would dominate setup."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k", "n"))
+    def wq(seed, k, n):
+        i = jax.lax.iota(jnp.uint32, k * n).reshape(k, n)
+        return ((i * jnp.uint32(2654435761) + seed) % 255).astype(jnp.int8) - 64
+
+    @functools.partial(jax.jit, static_argnames=("k", "n"))
+    def sc(k, n):
+        return jnp.full((k // 32, n), 1e-4, jnp.float32)
+
+    def qlin(seed, k, n):
+        return {"w_q": wq(jnp.uint32(seed), k, n), "s": sc(k, n)}
+
+    d, ff = cfg.d_model, cfg.d_ff
+    blocks = []
+    for i in range(cfg.num_layers):
+        blk = {
+            "attn": {
+                "q": qlin(7 * i + 1, d, d),
+                "k": qlin(7 * i + 2, d, d),
+                "v": qlin(7 * i + 3, d, d),
+                "o": qlin(7 * i + 4, d, d),
+            },
+            "attn_norm": {"weight": jnp.ones((d,), jnp.float32)},
+            "ffn": {
+                "wi_0": qlin(7 * i + 5, d, ff),
+                "wi_1": qlin(7 * i + 6, d, ff),
+                "wo": qlin(7 * i + 7, ff, d),
+            },
+            "ffn_norm": {"weight": jnp.ones((d,), jnp.float32)},
+        }
+        if i == 0:
+            blk["attn"]["relative_attention_bias"] = jnp.zeros(
+                (cfg.relative_attention_num_buckets, cfg.num_heads), jnp.float32
+            )
+        blocks.append(blk)
+    return {
+        "embedding": (
+            wq(jnp.uint32(99), cfg.vocab_size, d).astype(jnp.bfloat16) * 0.02
+        ),
+        "blocks": blocks,
+        "final_norm": {"weight": jnp.ones((d,), jnp.float32)},
+    }
 
 
 def main():
@@ -28,29 +119,106 @@ def main():
 
     from candle_video_tpu.models.ltx_video import pipeline as P
     from candle_video_tpu.models.ltx_video import scheduler as S
+    from candle_video_tpu.models.ltx_video import t5 as T5
+    from candle_video_tpu.models.ltx_video import vae as V
     from candle_video_tpu.models.ltx_video.configs import get_config_by_version
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
     from candle_video_tpu.models.ltx_video.zeros_init import zeros_transformer_params
     from candle_video_tpu.ops.rope import rope_cos_sin
 
     full = get_config_by_version("0.9.8-2b-distilled")
     cfg = full.transformer
     params = zeros_transformer_params(cfg, jnp.bfloat16)
-
-    f, h, w = 13, 16, 24  # 512x768x97f latents -> S=4992
-    s = f * h * w
     rng = np.random.default_rng(0)
+
+    def fetch(x):
+        np.asarray(jax.tree.leaves(x)[0][:1])
+
+    # ---- 1. untiled VAE decode (before the 5 GiB encoder is resident —
+    # untiled 512x768x97f decode peaks ~9 GiB of activations) ----------------------------------------------
+    vcfg = V.LtxVaeConfig()
+    vae_params = init_vae_params(jax.random.PRNGKey(0), vcfg, jnp.bfloat16)
+    f, h, w = 13, 16, 24  # 512x768x97f latents -> S=4992
+    z = jnp.asarray(rng.normal(size=(1, 128, f, h, w)) * 0.3, jnp.bfloat16)
+    temb = jnp.asarray([0.05], jnp.float32)
+    dec = jax.jit(functools.partial(V.decoder_forward, cfg=vcfg))
+    vae_s, _ = _timed_best(
+        lambda: dec(vae_params["decoder"], z=z, temb=temb), fetch
+    )
+    _emit("vae_decode_ms_512x768x97f", vae_s * 1000.0,
+          "ms", VAE_BASELINE_MS / (vae_s * 1000.0))
+
+    # ---- 2. full-size T5-XXL int8 encode -----------------------------------
+    t5_cfg = T5.t5_xxl()
+    t5_params = build_t5_int8_params(t5_cfg)
+    t5_bytes = sum(x.nbytes for x in jax.tree.leaves(t5_params))
+    ids = jnp.asarray(rng.integers(0, t5_cfg.vocab_size, size=(1, 128)), jnp.int32)
+    pos_bias = T5.position_bias(t5_params, t5_cfg, 128)
+    t5_fwd = jax.jit(lambda p, i, b: T5.forward(p, t5_cfg, i, pos_bias=b))
+    t5_s, embeds = _timed_best(lambda: t5_fwd(t5_params, ids, pos_bias), fetch)
+    _emit("t5_encode_ms_xxl_int8_128tok", t5_s * 1000.0, "ms", None)
+    _emit("t5_hbm_gib_xxl_int8", t5_bytes / 2**30, "GiB", None)
+
+    # ---- 3. end-to-end generate(): T5 -> denoise -> decode -> uint8 --------
+    pipe = P.LtxPipeline(
+        config=full,
+        transformer_params=params,
+        vae_params=vae_params,
+        t5_params=t5_params,
+        t5_config=t5_cfg,
+        tokenizer=None,
+    )
+    mask = jnp.ones((1, 128), jnp.float32)
+
+    # TPU-friendly tiling: temporal-only, 4 large tiles (3 distinct shapes
+    # -> 3 decoder compiles, cached).  The diffusers defaults would produce
+    # 13 temporal x 2 spatial tiles = ~26 dispatches per decode.
+    e2e_tiling = V.TilingConfig(
+        tile_sample_min_height=512,
+        tile_sample_min_width=768,
+        tile_sample_min_num_frames=48,
+        tile_sample_stride_height=384,
+        tile_sample_stride_width=640,
+        tile_sample_stride_num_frames=32,
+    )
+
+    def e2e():
+        # T5-XXL int8 stays RESIDENT through the whole generation (reference
+        # semantics: the GGUF encoder lives in device memory).  With 5.1 GiB
+        # of T5 + 3.9 GiB DiT on a 16 GiB chip the decode must tile — the
+        # same memory trade the reference makes on its 12 GB card (untiled
+        # decode alone is benchmarked above, without the resident encoder).
+        emb = t5_fwd(t5_params, ids, pos_bias)
+        return P.generate(
+            pipe,
+            prompt_embeds=emb,
+            prompt_attention_mask=mask,
+            height=512,
+            width=768,
+            num_frames=97,
+            output_type="tensor",
+            use_pcg_rng=False,
+            use_vae_tiling=True,
+            vae_tiling=e2e_tiling,
+        )
+
+    e2e_s, video = _timed_best(e2e, fetch, n=2)
+    assert video.shape[0] == 1 and 512 in video.shape and 768 in video.shape, (
+        video.shape
+    )
+    _emit("e2e_s_512x768x97f", e2e_s, "s", E2E_BASELINE_S / e2e_s)
+
+    # ---- 4. HEADLINE: production denoise scan -------------------------------
+    s = f * h * w
     latents = jnp.asarray(rng.normal(size=(1, s, cfg.in_channels)), jnp.float32)
     enc = jnp.asarray(rng.normal(size=(1, 128, cfg.caption_channels)) * 0.02,
                       jnp.float32)
-    mask = jnp.ones((1, 128), jnp.float32)
-
     coords = P.build_video_coords(f, h, w, frame_rate=25.0)
     grid = jnp.asarray(coords)[None] / jnp.asarray(
         [cfg.rope_base_num_frames, cfg.rope_base_height, cfg.rope_base_width],
         jnp.float32,
     )
     cos, sin = rope_cos_sin(grid, cfg.inner_dim, cfg.rope_theta)
-
     sch = S.set_timesteps(
         full.scheduler, num_inference_steps=7,
         sigmas=list(full.inference.timesteps), mu=0.0,
@@ -67,22 +235,10 @@ def main():
             skip, key, num_conds=1, attn_impl="auto",
         )
 
-    out = run()
-    np.asarray(out[0, :1, :1])  # compile + forced sync
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        out = run()
-        np.asarray(out[0, :1, :1])
-        best = min(best, (time.time() - t0) / n_steps * 1000.0)
-
-    print(json.dumps({
-        "metric": "denoise_step_ms_2b_512x768x97f",
-        "value": round(best, 2),
-        "unit": "ms/step",
-        "vs_baseline": round(BASELINE_MS / best, 3),
-    }))
+    step_s, _ = _timed_best(run, fetch)
+    step_ms = step_s / n_steps * 1000.0
+    _emit("denoise_step_ms_2b_512x768x97f", step_ms,
+          "ms/step", DENOISE_BASELINE_MS / step_ms)
 
 
 if __name__ == "__main__":
