@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "HuggingFace hub (examples/ltx-video/main.rs hub path)")
     p.add_argument("--t5-gguf", type=str, default=None,
                    help="GGUF file for the quantized T5-XXL encoder")
+    p.add_argument("--t5-keep-quantized", action="store_true",
+                   help="keep GGUF T5 weights int8 in HBM with dequant fused "
+                        "into the matmul (reference memory semantics, ~5.1 vs "
+                        "9.5 GiB for T5-XXL); default dequantizes once to BF16")
     p.add_argument("--t5-dir", type=str, default=None,
                    help="HF text_encoder dir (safetensors, BF16 path)")
     p.add_argument("--tokenizer", type=str, default=None,
@@ -137,7 +141,10 @@ def load_pipeline(args):
     t5_cfg = T5.t5_xxl()
     if args.t5_gguf:
         print(f"Loading GGUF T5: {args.t5_gguf}")
-        t5_params = T5.params_from_gguf(args.t5_gguf, t5_cfg, dtype)
+        t5_params = T5.params_from_gguf(
+            args.t5_gguf, t5_cfg, dtype,
+            keep_quantized=args.t5_keep_quantized,
+        )
     elif args.t5_dir:
         print(f"Loading T5 dir: {args.t5_dir}")
         sd = load_sharded(args.t5_dir)
