@@ -227,12 +227,22 @@ def main():
     key = jax.random.PRNGKey(0)
     n_steps = sch.timesteps.shape[0]
 
+    # split rope layout: same fast path generate() takes on TPU
+    rope_split = None
+    run_params = params
+    if P._use_split_rope(pipe, cfg, s, "auto"):
+        from candle_video_tpu.ops.rope import rope_split_tables
+
+        rope_split = rope_split_tables(cos, sin)
+        run_params = pipe.split_rope_params()
+
     def run():
         return P.denoise_loop(
-            params, cfg, latents, enc, mask,
+            run_params, cfg, latents, enc, mask,
             sch.sigmas_jnp, sch.timesteps_jnp, cos, sin,
             jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
             skip, key, num_conds=1, attn_impl="auto",
+            rope_split=rope_split,
         )
 
     step_s, _ = _timed_best(run, fetch)

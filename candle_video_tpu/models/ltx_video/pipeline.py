@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -128,13 +129,18 @@ def denoise_loop(
     stochastic: bool = False,
     attn_impl: str = "auto",
     use_skip: bool = False,
+    rope_split=None,  # compact split-layout table; transformer_params must
+    #                   then be permuted (TF.permute_params_rope_split)
 ):
     """Full denoising scan. Returns final latents [B, S, C] f32."""
     b = latents.shape[0]
     n_steps = timesteps.shape[0]
 
-    cos_b = jnp.broadcast_to(rope_cos, (num_conds * b,) + rope_cos.shape[1:])
-    sin_b = jnp.broadcast_to(rope_sin, (num_conds * b,) + rope_sin.shape[1:])
+    if rope_split is None:
+        cos_b = jnp.broadcast_to(rope_cos, (num_conds * b,) + rope_cos.shape[1:])
+        sin_b = jnp.broadcast_to(rope_sin, (num_conds * b,) + rope_sin.shape[1:])
+    else:
+        cos_b, sin_b = rope_cos, rope_sin  # unused under the split layout
 
     def step_fn(carry, xs):
         lat, key = carry
@@ -154,6 +160,7 @@ def denoise_loop(
             encoder_attention_mask=encoder_attention_mask,
             skip_layer_mask=skip_layer_mask if use_skip else None,
             attn_impl=attn_impl,
+            rope_split=rope_split,
         ).astype(jnp.float32)
 
         if num_conds == 3:  # [uncond; cond; perturbed]
@@ -211,6 +218,7 @@ def denoise_stepwise(
     attn_impl: str = "auto",
     use_skip: bool = False,
     step_callback=None,
+    rope_split=None,
 ):
     """Python-loop variant: one jitted step per iteration, checking the
     pipeline's cooperative ``interrupt`` flag and invoking ``step_callback``
@@ -231,7 +239,7 @@ def denoise_stepwise(
             jnp.float32(guidance_scale), jnp.float32(guidance_rescale),
             jnp.float32(stg_scale), skip_layer_mask, key,
             num_conds=num_conds, stochastic=stochastic,
-            attn_impl=attn_impl, use_skip=use_skip,
+            attn_impl=attn_impl, use_skip=use_skip, rope_split=rope_split,
         )
         key, _ = jax.random.split(key)
         lat = one
@@ -263,6 +271,18 @@ class LtxPipeline:
     # prompt-embedding cache (text_encoder.rs EmbeddingCache)
     embedding_cache_size: int = 16
     _embed_cache: dict = dataclasses.field(default_factory=dict)
+    # cached split-rope-permuted transformer params (keyed on identity)
+    _split_params_cache: Any = dataclasses.field(default=None, repr=False)
+
+    def split_rope_params(self):
+        """attn1-q/k-permuted params for the split rope layout (cached)."""
+        cache = self._split_params_cache
+        if cache is None or cache[0] is not self.transformer_params:
+            permuted = TF.permute_params_rope_split(
+                self.transformer_params, self.config.transformer
+            )
+            self._split_params_cache = (self.transformer_params, permuted)
+        return self._split_params_cache[1]
 
     def encode_prompt(self, prompts: Sequence[str], max_sequence_length: int = 128):
         if self.tokenizer is None or self.t5_params is None:
@@ -331,6 +351,30 @@ def check_inputs(
             "`prompt_attention_mask` and `negative_prompt_attention_mask` must "
             "have the same shape."
         )
+
+
+def _use_split_rope(pipe, tcfg, seq_len: int, attn_impl: str) -> bool:
+    """Enable the split rope layout when the packed kernel will carry
+    self-attention: TPU backend (or CVT_FORCE_SPLIT_ROPE=1 for interpret-mode
+    testing), lane-groupable dims, viable scores tile, BF16 params."""
+    if attn_impl not in ("auto", "pallas"):
+        return False
+    if os.environ.get("CVT_DISABLE_SPLIT_ROPE"):
+        return False
+    from ...ops.attention import _default_backend
+    from ...ops.pallas.flash_attention_packed import packed_viable
+
+    if _default_backend() not in ("tpu", "axon") and not os.environ.get(
+        "CVT_FORCE_SPLIT_ROPE"
+    ):
+        return False
+    if tcfg.inner_dim % 128 or 128 % tcfg.attention_head_dim:
+        return False
+    if "weight" not in pipe.transformer_params["blocks"]["attn1"]["to_q"]:
+        return False  # W8A8-quantized params keep the interleaved layout
+    return packed_viable(
+        seq_len, seq_len, tcfg.num_attention_heads, tcfg.attention_head_dim
+    )
 
 
 def generate(
@@ -510,6 +554,18 @@ def generate(
     )
     rope_cos, rope_sin = rope_cos_sin(grid, tcfg.inner_dim, tcfg.rope_theta)
 
+    # split rope layout (TPU fast path): fold the lane permutation into the
+    # attn1 q/k projections once (cached on the pipeline) and rotate q AND k
+    # inside the packed kernel from compact tables — kills the per-layer XLA
+    # k-rotation pass and halves rope-table HBM traffic, exactly.
+    rope_split = None
+    t_params = pipe.transformer_params
+    if _use_split_rope(pipe, tcfg, seq_len, attn_impl):
+        from ...ops.rope import rope_split_tables
+
+        rope_split = rope_split_tables(rope_cos, rope_sin)
+        t_params = pipe.split_rope_params()
+
     # ---- STG mask -------------------------------------------------------------
     skip_mask = np.zeros((tcfg.num_layers, num_conds * eff_batch), np.float32)
     if do_stg and skip_block_list:
@@ -528,16 +584,17 @@ def generate(
     stochastic = cfg.scheduler.stochastic_sampling or inf.stochastic_sampling
     if step_callback is not None or pipe.interrupt:
         final = denoise_stepwise(
-            pipe, pipe.transformer_params, tcfg, latents, enc_states, enc_mask,
+            pipe, t_params, tcfg, latents, enc_states, enc_mask,
             schedule, rope_cos, rope_sin,
             guidance_scale, guidance_rescale if do_cfg else 0.0, stg_scale,
             jnp.asarray(skip_mask), jax.random.PRNGKey(seed + 1),
             num_conds=num_conds, stochastic=stochastic, attn_impl=attn_impl,
             use_skip=bool(use_skip), step_callback=step_callback,
+            rope_split=rope_split,
         )
     else:
         final = denoise_loop(
-            pipe.transformer_params,
+            t_params,
             tcfg,
             latents,
             enc_states,
@@ -555,6 +612,7 @@ def generate(
             stochastic=stochastic,
             attn_impl=attn_impl,
             use_skip=bool(use_skip),
+            rope_split=rope_split,
         )
 
     if output_type == "latent":

@@ -75,24 +75,26 @@ def _np_rng_from_key(key) -> np.random.Generator:
 
 
 def init_params(key, cfg: LtxTransformerConfig, dtype=jnp.bfloat16):
-    """Random-init parameter pytree (testing / shape contract); NumPy host-side."""
+    """Random-init parameter pytree (testing / shape contract).
+
+    Built and STACKED entirely host-side (NumPy), converted to device arrays
+    once at the end: stacking per-layer device arrays with ``jnp.stack``
+    would briefly hold two copies of the block stack in HBM (2x ~8 GiB at
+    f32 for the 2B model — observed OOM on a 16 GiB chip).
+    """
     d = cfg.inner_dim
     rng = _np_rng_from_key(key)
 
     def lin(d_in, d_out, bias=True, std=0.02):
-        p = {
-            "weight": jnp.asarray(
-                rng.normal(size=(d_in, d_out)).astype(np.float32) * std, dtype
-            )
-        }
+        p = {"weight": rng.normal(size=(d_in, d_out)).astype(np.float32) * std}
         if bias:
-            p["bias"] = jnp.zeros((d_out,), dtype)
+            p["bias"] = np.zeros((d_out,), np.float32)
         return p
 
     def attn_params(kv_dim):
         return {
-            "norm_q": {"weight": jnp.ones((d,), dtype)},
-            "norm_k": {"weight": jnp.ones((d,), dtype)},
+            "norm_q": {"weight": np.ones((d,), np.float32)},
+            "norm_k": {"weight": np.ones((d,), np.float32)},
             "to_q": lin(d, d, cfg.attention_bias),
             "to_k": lin(kv_dim, d, cfg.attention_bias),
             "to_v": lin(kv_dim, d, cfg.attention_bias),
@@ -104,15 +106,14 @@ def init_params(key, cfg: LtxTransformerConfig, dtype=jnp.bfloat16):
             "attn1": attn_params(d),
             "attn2": attn_params(d),
             "ff": {"net_0_proj": lin(d, 4 * d), "net_2": lin(4 * d, d)},
-            "scale_shift_table": jnp.asarray(
-                rng.normal(size=(6, d)).astype(np.float32) / math.sqrt(d), dtype
-            ),
+            "scale_shift_table": rng.normal(size=(6, d)).astype(np.float32)
+            / np.float32(math.sqrt(d)),
         }
 
     blocks = [block_params() for _ in range(cfg.num_layers)]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
 
-    return {
+    tree = {
         "proj_in": lin(cfg.in_channels, d),
         "time_embed": {
             "emb": {
@@ -128,11 +129,11 @@ def init_params(key, cfg: LtxTransformerConfig, dtype=jnp.bfloat16):
             "linear_2": lin(d, d),
         },
         "blocks": stacked,
-        "scale_shift_table": jnp.asarray(
-            rng.normal(size=(2, d)).astype(np.float32) / math.sqrt(d), dtype
-        ),
+        "scale_shift_table": rng.normal(size=(2, d)).astype(np.float32)
+        / np.float32(math.sqrt(d)),
         "proj_out": lin(d, cfg.out_channels or cfg.in_channels),
     }
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)
 
 
 # ---------------------------------------------------------------------------
@@ -212,6 +213,41 @@ def quantize_transformer_params(params):
     ff["net_0_proj"] = _quantize_linear(ff["net_0_proj"])
     ff["net_2"] = _quantize_linear(ff["net_2"])
     blocks["ff"] = ff
+    out["blocks"] = blocks
+    return out
+
+
+def permute_params_rope_split(params, cfg: LtxTransformerConfig):
+    """Fold the split-rope lane permutation into the attn1 q/k projections.
+
+    Attention scores are invariant under a lane permutation applied to BOTH
+    q and k (v and the output are untouched), so permuting to_q/to_k weight
+    columns, biases, and the norm_q/norm_k elementwise weights once at setup
+    makes the projected q/k arrive in the split layout the packed kernel's
+    compact-table rotation consumes (ops/rope.py::rope_split_permutation)
+    — zero runtime cost, exact numerics.  Use together with
+    ``forward(..., rope_split=rope_split_tables(cos, sin))``.
+    """
+    from ...ops.rope import rope_split_permutation
+
+    perm = jnp.asarray(rope_split_permutation(cfg.inner_dim))
+
+    def permute_lin(p):
+        if "weight_q" in p:
+            raise ValueError("split rope layout does not support W8A8 params")
+        out = {"weight": p["weight"][..., perm]}
+        if "bias" in p:
+            out["bias"] = p["bias"][..., perm]
+        return out
+
+    a1 = dict(params["blocks"]["attn1"])
+    a1["to_q"] = permute_lin(a1["to_q"])
+    a1["to_k"] = permute_lin(a1["to_k"])
+    a1["norm_q"] = {"weight": a1["norm_q"]["weight"][..., perm]}
+    a1["norm_k"] = {"weight": a1["norm_k"]["weight"][..., perm]}
+    blocks = dict(params["blocks"])
+    blocks["attn1"] = a1
+    out = dict(params)
     out["blocks"] = blocks
     return out
 
@@ -330,6 +366,8 @@ def forward(
     encoder_attention_mask=None,  # [B, K] 1=keep/0=pad, or None
     skip_layer_mask=None,  # [L, B] f32, 1=skip, or None
     attn_impl: str = "auto",
+    rope_split=None,  # compact [c|s] table (rope_split_tables) — params must
+    #                   be pre-permuted via permute_params_rope_split
 ):
     """Full DiT forward; returns [B, S, out_channels] in the model dtype."""
     dtype = params["proj_in"]["weight"].dtype
@@ -353,7 +391,7 @@ def forward(
         mask = encoder_attention_mask.astype(jnp.float32)
         enc_bias = ((1.0 - mask) * -10000.0)[:, None, None, :]  # [B,1,1,K]
 
-    rope = (rope_cos, rope_sin)
+    rope = (rope_cos, rope_sin) if rope_split is None else ("split", rope_split)
 
     n_layers = cfg.num_layers
     if skip_layer_mask is None:

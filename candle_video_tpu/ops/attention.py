@@ -47,18 +47,17 @@ def attention_xla_bf16(q, k, v, scale: float, bias=None):
     """BF16 matmuls with f32-accumulated logits and f32 softmax — the same
     numerics as flash-attention (QK^T f32 accum, f32 softmax, BF16 PV).
     Faster than the Pallas kernel for short key lengths (cross-attention,
-    K=128): measured 1.04 vs 1.44 ms/layer at LTX shapes."""
-    qf = jnp.swapaxes(q, 1, 2)
-    kf = jnp.swapaxes(k, 1, 2)
-    vf = jnp.swapaxes(v, 1, 2)
+    K=128): measured 1.02 vs 1.23 ms/layer at LTX shapes.  The einsums
+    consume the natural [B,S,H,D] layout directly — explicit swapaxes cost
+    ~0.08 ms/layer in materialized relayouts."""
     att = jnp.einsum(
-        "bhsd,bhkd->bhsk", qf, kf, preferred_element_type=jnp.float32
+        "bshd,bkhd->bhsk", q, k, preferred_element_type=jnp.float32
     ) * jnp.float32(scale)
     if bias is not None:
         att = att + bias.astype(jnp.float32)
     att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhsk,bhkd->bhsd", att, vf, preferred_element_type=jnp.float32)
-    return jnp.swapaxes(out.astype(q.dtype), 1, 2)
+    out = jnp.einsum("bhsk,bkhd->bshd", att, v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
 
 
 # below this key length the unfused XLA path beats the flash kernel
@@ -82,7 +81,41 @@ def attention(q, k, v, scale: float, bias=None, impl: str = "auto", rope=None):
     UNROTATED.  On the packed Pallas path q rotates inside the kernel (exact
     roll-based formulation, never materialized to HBM) and k rotates in one
     XLA pass; other implementations rotate both up front.
+
+    ``rope=("split", cs)``: q/k arrive unrotated AND in the split lane
+    layout (projection weights pre-permuted via
+    rope.py::rope_split_permutation); ``cs`` is the compact combined table
+    from rope_split_tables.  Both q and k rotate inside the packed kernel
+    (k once per head-group into VMEM scratch) — half the table bandwidth
+    and no per-layer XLA rotation pass.  Requires the packed kernel.
     """
+    if rope is not None and isinstance(rope[0], str):
+        if rope[0] != "split":
+            raise ValueError(f"unknown rope layout tag {rope[0]!r}")
+        from .pallas.flash_attention_packed import (
+            flash_attention_packed,
+            packed_viable,
+        )
+
+        b, s, h, d = q.shape
+        kv = k.shape[1]
+        if impl == "auto":
+            impl = "pallas"
+        if impl != "pallas" or not packed_viable(s, kv, h, d):
+            raise ValueError(
+                "split rope layout requires the packed pallas kernel "
+                f"(impl={impl!r}, viable={packed_viable(s, kv, h, d)})"
+            )
+        out = flash_attention_packed(
+            q.reshape(b, s, h * d),
+            k.reshape(b, kv, h * d),
+            v.reshape(b, kv, h * d),
+            num_heads=h,
+            scale=scale,
+            bias=bias,
+            rope_split=rope[1],
+        )
+        return out.reshape(b, s, h, d)
     if impl == "auto":
         if _default_backend() not in ("tpu", "axon"):
             impl = "xla"

@@ -54,6 +54,26 @@ def _rotate(x, cos, sin):
     return out.astype(x.dtype)
 
 
+def _rotate_split(x, cs):
+    """Split-layout rotation: one half-block roll, COMPACT tables.
+
+    ``x`` [rows, 128] is one lane group in the split layout (pair-even
+    elements in lanes [0,64), pair-odd in [64,128) — see
+    ops/rope.py::rope_split_permutation); ``cs`` [rows, 128] packs the
+    compact tables as [cos_pairs(64) | sin_pairs(64)].  Then
+    ``out = x*[c|c] + roll(x,64)*[-s|s]`` is exactly the interleaved
+    rotation, at half the table bandwidth and one roll instead of two.
+    """
+    xf = x.astype(jnp.float32)
+    csf = cs.astype(jnp.float32)
+    rcs = jnp.roll(csf, 64, axis=-1)  # [s | c]
+    lane = jax.lax.broadcasted_iota(jnp.int32, csf.shape, csf.ndim - 1)
+    lo = lane < 64
+    ct = jnp.where(lo, csf, rcs)  # [c | c]
+    st = jnp.where(lo, -rcs, csf)  # [-s | s]
+    return (xf * ct + jnp.roll(xf, 64, axis=-1) * st).astype(x.dtype)
+
+
 def _kernel(
     q_ref,
     k_ref,
@@ -61,25 +81,61 @@ def _kernel(
     bias_ref,
     qcos_ref,
     qsin_ref,
+    qcs_ref,
+    kcs_ref,
     o_ref,
+    krot_ref,
     *,
     scale,
     kv_len,
     head_dim,
 ):
+    split = qcs_ref is not None
     q = q_ref[0]  # [bq, L]   (L = heads_per_block * D lanes)
-    if qcos_ref is not None:
-        # q-side rotation in VMEM (k is rotated outside: its full-length f32
-        # tables would keep ~5 MB resident and overflow VMEM at these shapes)
-        q = _rotate(q, qcos_ref[0], qsin_ref[0])
-    k = k_ref[0]  # [Kp, L]
+    if split:
+        # split layout: q AND k rotate in VMEM from compact [c|s] tables.
+        # k rotates once per (batch, head-group) into scratch — its block
+        # index is constant along the q grid axis.
+        q = _rotate_split(q, qcs_ref[0])
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            # rotate in 128-row chunks: a whole-block rotation would keep
+            # ~6 full-length f32 temporaries live at once (~12 MB of scoped
+            # vmem at S=4992)
+            def body(i, _):
+                sl = pl.ds(i * 128, 128)
+                krot_ref[sl, :] = _rotate_split(k_ref[0, sl, :], kcs_ref[0, sl, :])
+                return 0
+
+            jax.lax.fori_loop(0, krot_ref.shape[0] // 128, body, 0)
+
+        k = krot_ref[...]
+    else:
+        if qcos_ref is not None:
+            # interleaved q-side rotation in VMEM (k is rotated outside: its
+            # full-length f32 tables would overflow VMEM at these shapes)
+            q = _rotate(q, qcos_ref[0], qsin_ref[0])
+        k = k_ref[0]  # [Kp, L]
     v = v_ref[0]
     lanes = q.shape[-1]
+    n_heads = lanes // head_dim
+    if split and n_heads > 1:
+        # split layout de-interleaves pairs per 128-lane group, so a head's
+        # features are non-contiguous (quadrants 0,2 / 1,3).  Mask q per head
+        # and contract over all 128 lanes — same MXU passes as the 64-deep
+        # sliced dot (the systolic array is 128 deep either way).
+        lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 1)
+        head_of_lane = (lane // (head_dim // 2)) % n_heads
     outs = []
-    for h in range(lanes // head_dim):
+    for h in range(n_heads):
         lo = h * head_dim
-        qh = q[:, lo : lo + head_dim]
-        kh = k[:, lo : lo + head_dim]
+        if split and n_heads > 1:
+            qh = jnp.where(head_of_lane == h, q, jnp.zeros_like(q))
+            kh = k
+        else:
+            qh = q[:, lo : lo + head_dim]
+            kh = k[:, lo : lo + head_dim]
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, Kp]
@@ -130,23 +186,33 @@ def flash_attention_packed(
     scale: float,
     bias=None,  # [B, 1, 1, K]
     rope_q=None,  # (cos, sin) each [1 or B, S, H*D] f32 — q not yet rotated
+    rope_split=None,  # [1, S, H*D] compact [c|s] table — q AND k not rotated,
+    #                   both in the split lane layout (rope.py::rope_split_*)
     block_q: int | None = None,
     interpret: bool | None = None,
 ):
     """Returns [B, S, H*D]; exact one-pass softmax per head."""
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    if rope_q is not None and rope_split is not None:
+        raise ValueError("rope_q and rope_split are mutually exclusive")
     b, s_len, hd = q.shape
     kv_len = k.shape[1]
     head_dim = hd // num_heads
     hp = 128 // head_dim  # heads per 128-lane block
     lanes = hp * head_dim  # == 128
     n_groups = num_heads // hp
+    if rope_split is not None and kv_len != s_len:
+        raise ValueError("rope_split requires self-attention (kv_len == s_len)")
 
     kp = _round_up(kv_len, 128)
     if block_q is None:
         budget = _SCORES_VMEM_BUDGET // (kp * 4)
-        block_q = max(64, min(256, budget // 8 * 8))
+        # split mode keeps the compact k-table + rotated-k scratch resident
+        # (~3.75 MB at S=4992) — shrink the scores tile to stay under the
+        # 16 MB scoped-vmem limit
+        cap = 192 if rope_split is not None else 256
+        block_q = max(64, min(cap, budget // 8 * 8))
     block_q = min(block_q, _round_up(s_len, 8))
 
     def pad(x, mult):
@@ -172,6 +238,7 @@ def flash_attention_packed(
     args = [qp, kpad, vp]
     has_bias = bias is not None
     has_rope = rope_q is not None
+    has_split = rope_split is not None
     if has_bias:
         bias3 = bias.astype(jnp.float32).reshape(b, 1, kv_len)
         if kp != kv_len:
@@ -189,20 +256,41 @@ def flash_attention_packed(
         args.extend(
             [pad(cos.astype(jnp.float32), block_q), pad(sin.astype(jnp.float32), block_q)]
         )
+    if has_split:
+        cs = rope_split.astype(jnp.float32)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_q, lanes), lambda bg, qi, _g=n_groups: (0, qi, bg % _g)
+            )
+        )
+        args.append(pad(cs, block_q))
+        # k-side tables ride in BF16: the rotated k is stored to a BF16
+        # scratch regardless, so table rounding is at the same level as the
+        # unavoidable output rounding — and it halves the double-buffered
+        # VMEM footprint of the full-length table block (scoped-vmem limit).
+        in_specs.append(
+            pl.BlockSpec((1, kp, lanes), lambda bg, qi, _g=n_groups: (0, 0, bg % _g))
+        )
+        args.append(pad(cs.astype(jnp.bfloat16), 128))
 
     kernel = functools.partial(
         _kernel, scale=scale, kv_len=kv_len, head_dim=head_dim
     )
+
     def body(q_r, k_r, v_r, *rest):
         i = 0
-        b_r = qc_r = qs_r = None
+        b_r = qc_r = qs_r = qcs_r = kcs_r = krot_r = None
         if has_bias:
             b_r = rest[i]
             i += 1
         if has_rope:
             qc_r, qs_r = rest[i : i + 2]
             i += 2
-        kernel(q_r, k_r, v_r, b_r, qc_r, qs_r, rest[i])
+        if has_split:
+            qcs_r, kcs_r = rest[i : i + 2]
+            i += 2
+            krot_r = rest[i + 1]  # scratch ref follows the output ref
+        kernel(q_r, k_r, v_r, b_r, qc_r, qs_r, qcs_r, kcs_r, rest[i], krot_r)
 
     out = pl.pallas_call(
         body,
@@ -210,6 +298,9 @@ def flash_attention_packed(
         in_specs=in_specs,
         out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((kp, lanes), k.dtype)] if has_split else []
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),

@@ -111,6 +111,63 @@ def default_grid_normalized(
     return grid
 
 
+def rope_split_permutation(dim: int) -> np.ndarray:
+    """Lane permutation for the SPLIT rope layout: within every 128-lane
+    group, pair-even lanes first, pair-odd lanes second.
+
+    Because attention scores are invariant under any lane permutation
+    applied to BOTH q and k (and v/out are untouched), the permutation can
+    be folded into the to_q/to_k projection weights once at setup — zero
+    runtime cost.  In the split layout the interleaved rotation becomes a
+    single half-group roll with COMPACT (half-width) tables
+    (flash_attention_packed.py::_rotate_split) — half the rope-table HBM
+    traffic and in-kernel k rotation.
+
+    Returns ``perm`` with ``x_split[..., i] = x[..., perm[i]]``.
+    """
+    if dim % 128:
+        raise ValueError(f"split rope layout needs dim % 128 == 0, got {dim}")
+    idx = np.arange(dim).reshape(-1, 128)
+    return np.concatenate([idx[:, 0::2], idx[:, 1::2]], axis=1).reshape(-1)
+
+
+def rope_split_tables(cos, sin):
+    """Compact combined table for the split layout.
+
+    Input: full-width interleaved (cos, sin) [..., S, dim] (pair-duplicated:
+    ``cos[..., 2p] == cos[..., 2p+1]``).  Output: [..., S, dim] where each
+    128-lane group holds ``[cos_pairs(64) | sin_pairs(64)]`` — the layout
+    ``_rotate_split`` consumes.  (Width is preserved because cos and sin
+    pack together; HBM traffic halves because ONE table replaces two.)
+    """
+    c = cos[..., 0::2]
+    s = sin[..., 0::2]
+    lead, half = c.shape[:-1], c.shape[-1]
+    if half % 64:
+        raise ValueError(f"split rope layout needs dim % 128 == 0, got {2 * half}")
+    g = half // 64
+    c = c.reshape(*lead, g, 64)
+    s = s.reshape(*lead, g, 64)
+    return jnp.concatenate([c, s], axis=-1).reshape(*lead, g * 128)
+
+
+def apply_rotary_emb_split(x, cs):
+    """XLA reference for the split-layout rotation (oracle for the kernel).
+
+    ``x`` [..., S, dim] in the split lane layout, ``cs`` the
+    ``rope_split_tables`` output.  f32 math, exact.
+    """
+    dtype = x.dtype
+    lead, dim = x.shape[:-1], x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(*lead, dim // 128, 128)
+    csf = cs.astype(jnp.float32).reshape(*cs.shape[:-1], dim // 128, 128)
+    c, s = csf[..., :64], csf[..., 64:]
+    ct = jnp.concatenate([c, c], axis=-1)
+    st = jnp.concatenate([-s, s], axis=-1)
+    out = xf * ct + jnp.roll(xf, 64, axis=-1) * st
+    return out.reshape(*lead, dim).astype(dtype)
+
+
 def split_rope_sin(sin):
     """Split the interleaved sin table for roll-based in-kernel rotation.
 
