@@ -9,7 +9,18 @@ so the runtime layer offers:
 - **request queue** with FIFO execution on the single-controller JAX model
   (device work is serialized by XLA's stream anyway; the queue gives
   backpressure and stats),
-- **stats**: per-bucket latency, queue depth, served count.
+- **continuous batching** (``max_batch > 1``): the worker drains same-bucket
+  embed-carrying requests from the queue and serves them as ONE batched
+  ``generate`` call — per-request seeds are honored by building each row's
+  initial latents with its own Pcg32 stream (exactly what a single-request
+  call would draw) and injecting the concatenated batch.  Non-matching
+  requests are requeued.  The already-batched CFG/STG rows stack on the same
+  batch axis, so a batch of N costs one forward of N×num_conds rows.
+  Limitation: with a timestep-conditioned VAE the decode-noise stream comes
+  from the lead request's seed (per-row decode noise would need generate's
+  noise injection surface); ``output_type="latent"`` is bit-faithful per
+  request.
+- **stats**: per-bucket latency, queue depth, served count, batch sizes.
 """
 
 from __future__ import annotations
@@ -52,11 +63,13 @@ class Request:
 class VideoGenerationServer:
     """Minimal single-host serving loop around an LtxPipeline."""
 
-    def __init__(self, pipe, buckets: Sequence[ShapeBucket], **generate_kwargs):
+    def __init__(self, pipe, buckets: Sequence[ShapeBucket], max_batch: int = 1,
+                 **generate_kwargs):
         from .models.ltx_video.pipeline import generate  # noqa: F401
 
         self._pipe = pipe
         self._buckets = {b.key(): b for b in buckets}
+        self._max_batch = max(1, int(max_batch))
         self._gen_kwargs = generate_kwargs
         self._queue: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
         self._stats: Dict[Tuple, Dict[str, float]] = {}
@@ -188,12 +201,108 @@ class VideoGenerationServer:
         self._served += 1
         return out
 
+    # -- continuous batching --------------------------------------------------
+
+    def _batchable(self, a: Request, b: Request) -> bool:
+        if a.prompt_embeds is None or b.prompt_embeds is None:
+            return False  # string prompts go through the tokenizer cache singly
+        if self._pick_bucket(a).key() != self._pick_bucket(b).key():
+            return False
+        if a.output_type != b.output_type:
+            return False
+        if tuple(a.prompt_embeds.shape) != tuple(b.prompt_embeds.shape):
+            return False
+        if (a.negative_prompt_embeds is None) != (b.negative_prompt_embeds is None):
+            return False
+        return True
+
+    def _drain_batch(self, first):
+        batch = [first]
+        requeue = []
+        while len(batch) < self._max_batch:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item[0] is None:
+                self._queue.put(item)
+                break
+            if self._batchable(batch[0][0], item[0]):
+                batch.append(item)
+            else:
+                requeue.append(item)
+        for item in requeue:
+            self._queue.put(item)
+        return batch
+
+    def _row_latents(self, request: Request, bucket: ShapeBucket):
+        """The exact initial latents a single-request call would draw."""
+        from .utils.rng import Pcg32
+
+        tcfg = self._pipe.config.transformer
+        vcfg = self._pipe.config.vae
+        f = (bucket.num_frames - 1) // vcfg.temporal_compression_ratio + 1
+        h = bucket.height // vcfg.spatial_compression_ratio
+        w = bucket.width // vcfg.spatial_compression_ratio
+        return Pcg32(request.seed, 0).randn((1, tcfg.in_channels, f, h, w))
+
+    def _serve_batch(self, items):
+        """Serve same-bucket requests as one batched generate call."""
+        import jax.numpy as jnp
+
+        from .models.ltx_video.pipeline import generate
+
+        requests = [r for r, _ in items]
+        b = self._pick_bucket(requests[0])
+        t0 = time.time()
+        latents = jnp.asarray(
+            np.concatenate([self._row_latents(r, b) for r in requests], axis=0),
+            jnp.float32,
+        )
+        cat = lambda xs: jnp.concatenate([jnp.asarray(x) for x in xs], axis=0)
+        neg = requests[0].negative_prompt_embeds is not None
+        out = generate(
+            self._pipe,
+            prompt_embeds=cat([r.prompt_embeds for r in requests]),
+            prompt_attention_mask=cat([r.prompt_attention_mask for r in requests]),
+            negative_prompt_embeds=(
+                cat([r.negative_prompt_embeds for r in requests]) if neg else None
+            ),
+            negative_prompt_attention_mask=(
+                cat([r.negative_prompt_attention_mask for r in requests])
+                if neg else None
+            ),
+            latents=latents,
+            seed=requests[0].seed,
+            output_type=requests[0].output_type,
+            **self._bucket_kwargs(b),
+        )
+        np.asarray(out[(0,) * out.ndim])  # forced sync
+        ms = (time.time() - t0) * 1000.0
+        rec = self._stats.setdefault(b.key(), {"served": 0, "last_ms": 0.0})
+        rec["served"] += len(items)
+        rec["last_ms"] = round(ms, 1)
+        rec["last_batch"] = len(items)
+        self._served += len(items)
+        return [out[i : i + 1] for i in range(len(items))]
+
     def _loop(self):
         while not self._stop.is_set():
-            request, out = self._queue.get()
-            if request is None:
+            item = self._queue.get()
+            if item[0] is None:
+                continue
+            batch = self._drain_batch(item) if self._max_batch > 1 else [item]
+            if len(batch) == 1:
+                request, out = batch[0]
+                try:
+                    out.put(self._serve_one(request))
+                except Exception as e:  # propagate to the caller
+                    out.put(e)
                 continue
             try:
-                out.put(self._serve_one(request))
-            except Exception as e:  # propagate to the caller
-                out.put(e)
+                results = self._serve_batch(batch)
+                for (_, out), res in zip(batch, results):
+                    out.put(res)
+            except Exception as e:
+                for _, out in batch:
+                    out.put(e)

@@ -91,3 +91,56 @@ def test_bucket_snapping(tiny_pipe):
     # exact match picks itself
     req2 = Request(bucket=small)
     assert server._pick_bucket(req2) == small
+
+
+def test_continuous_batching(tiny_pipe):
+    """Queued same-bucket requests serve as ONE batched generate call whose
+    per-request results match individual serving (per-seed Pcg32 latents)."""
+    bucket = ShapeBucket(64, 64, 9, 2)
+    single = VideoGenerationServer(
+        tiny_pipe, [bucket], max_sequence_length=8, attn_impl="xla",
+    )
+    expected = [np.asarray(single.generate_sync(_req(seed=i))) for i in (1, 2, 3)]
+
+    server = VideoGenerationServer(
+        tiny_pipe, [bucket], max_batch=4, max_sequence_length=8, attn_impl="xla",
+    ).warmup()
+    # enqueue BEFORE starting the worker so the drain sees all three at once
+    outs = [server.submit(_req(seed=i)) for i in (1, 2, 3)]
+    server.start()
+    try:
+        results = [q.get(timeout=300) for q in outs]
+    finally:
+        server.stop()
+    for r, e in zip(results, expected):
+        assert not isinstance(r, Exception), r
+        assert r.shape == e.shape
+        np.testing.assert_allclose(np.asarray(r), e, atol=1e-5, rtol=1e-5)
+    rec = server.stats()["buckets"][str(bucket.key())]
+    assert rec["last_batch"] == 3
+    assert server.stats()["served"] == 3
+
+
+def test_batching_mixed_buckets_requeue(tiny_pipe):
+    """Non-matching requests are requeued and served separately."""
+    small = ShapeBucket(64, 64, 9, 2)
+    big = ShapeBucket(96, 96, 9, 2)
+    server = VideoGenerationServer(
+        tiny_pipe, [small, big], max_batch=4, max_sequence_length=8,
+        attn_impl="xla",
+    )
+    reqs = [_req(seed=1), _req(seed=2)]
+    reqs[1] = Request(prompt_embeds=reqs[1].prompt_embeds,
+                      prompt_attention_mask=reqs[1].prompt_attention_mask,
+                      bucket=big, output_type="latent", seed=2)
+    outs = [server.submit(r) for r in reqs]
+    server.start()
+    try:
+        r0 = outs[0].get(timeout=300)
+        r1 = outs[1].get(timeout=300)
+    finally:
+        server.stop()
+    assert not isinstance(r0, Exception) and not isinstance(r1, Exception)
+    assert r0.shape == (1, 8, 8)
+    assert r1.shape == (1, 3 * 3 * 2, 8)
+    assert server.stats()["served"] == 2
