@@ -51,7 +51,14 @@ def _run_pipeline(dtype_name: str, attn_impl: str):
     Full production 2B DiT config (28 layers, d=2048) + full VAE decoder at
     256x384x9f (S=192), 3 denoise steps — the model numerics are real, only
     the token count is small.
+
+    The f32 control runs under ``jax.default_matmul_precision("highest")``:
+    on TPU, f32 matmuls otherwise lower to bf16-reduced passes, which is a
+    precision policy, not the backend difference the control isolates
+    (measured MSE 1.1e-5 under the default policy vs the 1e-5 envelope).
     """
+    import contextlib
+
     import jax.numpy as jnp
 
     from candle_video_tpu.models.ltx_video import pipeline as P
@@ -60,6 +67,20 @@ def _run_pipeline(dtype_name: str, attn_impl: str):
     from candle_video_tpu.models.ltx_video.transformer import init_params
     from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
 
+    prec = (
+        jax.default_matmul_precision("highest")
+        if dtype_name == "float32"
+        else contextlib.nullcontext()
+    )
+    with prec:
+        return _run_pipeline_impl(
+            dtype_name, attn_impl, jnp, P, V, get_config_by_version,
+            init_params, init_vae_params,
+        )
+
+
+def _run_pipeline_impl(dtype_name, attn_impl, jnp, P, V, get_config_by_version,
+                       init_params, init_vae_params):
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
     full = get_config_by_version("0.9.8-2b-distilled")
     params = init_params(jax.random.PRNGKey(11), full.transformer, dtype=dtype)
