@@ -1,17 +1,39 @@
-"""Causal 3D convolution as a single XLA conv — the TPU-first answer to the
-reference's conv2d-slice loop.
+"""Causal 3D convolution — the TPU-first answer to the reference's
+conv2d-slice loop.
 
 The reference emulates Conv3d as a Rust-level loop of ``kt`` Conv2d slices
-summed over time (src/models/ltx_video/vae.rs:296-465).  On TPU this is one
-``lax.conv_general_dilated`` call with explicit replicate temporal padding:
-causal = (kt-1)·dilation frames of the first frame on the left; non-causal =
-(kt-1)/2 on each side (vae.rs:374-413 edge semantics).
+summed over time (src/models/ltx_video/vae.rs:296-465).  Here two
+implementations behind one interface:
+
+- ``impl="xla"``: one ``lax.conv_general_dilated`` call with explicit
+  replicate temporal padding: causal = (kt-1)·dilation frames of the first
+  frame on the left; non-causal = (kt-1)/2 on each side (vae.rs:374-413
+  edge semantics).  The correctness oracle, and the CPU path.
+- ``impl="taps"``: the 3D conv decomposed into kt·kh·kw shifted
+  channels-last MATMULS accumulated in f32 — XLA-TPU's native 3D conv
+  lowering measured far below MXU rates at VAE shapes, while an
+  [N, C_in] x [C_in, C_out] dot per tap rides the MXU directly.  Exact
+  same math (taps of a convolution sum), supports stride/dilation;
+  groups fall back to "xla".
+- ``impl="auto"``: taps on TPU (groups == 1), xla otherwise.
+  ``CVT_CONV3D_IMPL`` overrides for experiments.
 """
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+@functools.cache
+def _default_backend() -> str:
+    try:
+        return jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return "cpu"
 
 
 def replicate_pad_time(x, kt: int, dilation_t: int = 1, causal: bool = True):
@@ -27,6 +49,50 @@ def replicate_pad_time(x, kt: int, dilation_t: int = 1, causal: bool = True):
     return jnp.pad(x, pads, mode="edge")
 
 
+def _conv3d_taps(x, weight, stride, dilation):
+    """Tap-decomposed conv: x [B,C,T,H,W] pre-padded (time AND space),
+    weight [O,I,kt,kh,kw] -> [B,O,T',H',W'] f32.
+
+    Channels move to the lane dimension once, each of the kt*kh*kw taps is a
+    strided slice feeding an [*, I] x [I, O] dot on the MXU, accumulated in
+    f32, and the result moves back — two relayouts around pure matmuls
+    instead of XLA's 3D conv lowering.
+    """
+    kt, kh, kw = weight.shape[2], weight.shape[3], weight.shape[4]
+    st, sh, sw = stride
+    dt, dh, dw = dilation
+    xcl = jnp.transpose(x, (0, 2, 3, 4, 1))  # [B,T,H,W,C]
+    wcl = jnp.transpose(weight, (2, 3, 4, 1, 0))  # [kt,kh,kw,I,O]
+    b, tp, hp, wp, _ = xcl.shape
+    t_out = (tp - (kt - 1) * dt - 1) // st + 1
+    h_out = (hp - (kh - 1) * dh - 1) // sh + 1
+    w_out = (wp - (kw - 1) * dw - 1) // sw + 1
+    out = None
+    for a in range(kt):
+        for bb in range(kh):
+            for c in range(kw):
+                xs = jax.lax.slice(
+                    xcl,
+                    (0, a * dt, bb * dh, c * dw, 0),
+                    (
+                        b,
+                        a * dt + (t_out - 1) * st + 1,
+                        bb * dh + (h_out - 1) * sh + 1,
+                        c * dw + (w_out - 1) * sw + 1,
+                        xcl.shape[4],
+                    ),
+                    (1, st, sh, sw, 1),
+                )
+                part = jax.lax.dot_general(
+                    xs,
+                    wcl[a, bb, c],
+                    (((4,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                out = part if out is None else out + part
+    return jnp.transpose(out, (0, 4, 1, 2, 3))  # [B,O,T',H',W'] f32
+
+
 def causal_conv3d(
     x,
     weight,  # [O, I/groups, kt, kh, kw] (torch layout)
@@ -35,6 +101,7 @@ def causal_conv3d(
     dilation=(1, 1, 1),
     groups: int = 1,
     causal: bool = True,
+    impl: str = "auto",
 ):
     """3D conv with replicate temporal padding and zero spatial padding.
 
@@ -46,19 +113,32 @@ def causal_conv3d(
     st, sh, sw = stride
     dt, dh, dw = dilation
 
+    impl = os.environ.get("CVT_CONV3D_IMPL", impl)
+    if impl == "auto":
+        impl = (
+            "taps"
+            if groups == 1 and _default_backend() in ("tpu", "axon")
+            else "xla"
+        )
+
     x = x.astype(weight.dtype)
     x = replicate_pad_time(x, kt, dt, causal)
 
-    out = jax.lax.conv_general_dilated(
-        x,
-        weight,
-        window_strides=(st, sh, sw),
-        padding=[(0, 0), (kh // 2 * dh, kh // 2 * dh), (kw // 2 * dw, kw // 2 * dw)],
-        rhs_dilation=(dt, dh, dw),
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    )
+    if impl == "taps" and groups == 1:
+        pads = [(0, 0), (0, 0), (0, 0),
+                (kh // 2 * dh, kh // 2 * dh), (kw // 2 * dw, kw // 2 * dw)]
+        out = _conv3d_taps(jnp.pad(x, pads), weight, stride, dilation)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x,
+            weight,
+            window_strides=(st, sh, sw),
+            padding=[(0, 0), (kh // 2 * dh, kh // 2 * dh), (kw // 2 * dw, kw // 2 * dw)],
+            rhs_dilation=(dt, dh, dw),
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        )
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :, None, None, None]
     return out.astype(weight.dtype)

@@ -103,6 +103,7 @@ def ring_attention(
     scale: float,
     mesh: Mesh,
     axis_name: str = "tp",
+    chunk_impl: str = "auto",
 ):
     """Streaming ring attention: q/k/v [B, S, H, D], S divisible by the
     mesh axis size.  K/V shards rotate around the ring; each chip holds only
@@ -111,6 +112,12 @@ def ring_attention(
     Exactness: the blockwise online-softmax combination is the standard
     flash-attention recurrence in log-space — results match the all-gather
     path to f32 accumulation error.
+
+    ``chunk_impl``: "xla" materializes per-chunk scores [B,H,Sq,Sc] f32 in
+    HBM; "pallas" fuses chunk attention AND the state update into one
+    kernel (ops/pallas/ring_chunk.py) so scores live only as a
+    [block_q, Sc] VMEM tile — per-chip memory O(Sq·block) instead of
+    O(Sq·Sc).  "auto" = pallas on TPU, xla elsewhere.
     """
     n = mesh.shape[axis_name]
     if q.shape[1] % n != 0:
@@ -118,8 +125,52 @@ def ring_attention(
             f"sequence length {q.shape[1]} not divisible by mesh axis "
             f"'{axis_name}' size {n}"
         )
+    if chunk_impl == "auto":
+        chunk_impl = (
+            "pallas"
+            if jax.devices()[0].platform in ("tpu", "axon")
+            else "xla"
+        )
 
     spec = P(None, axis_name, None, None)
+
+    if chunk_impl == "pallas":
+        from ..ops.pallas.ring_chunk import init_ring_state, ring_chunk_update
+
+        def inner_pallas(qc, kc, vc):
+            b, sq, h, d = qc.shape
+            hd = h * d
+            hp = 128 // d
+            seg = 128 // (2 * hp)
+            q3 = qc.reshape(b, sq, hd)
+            k3 = kc.reshape(b, kc.shape[1], hd)
+            v3 = vc.reshape(b, vc.shape[1], hd)
+            perm = [(j, (j + 1) % n) for j in range(n)]
+            stat0, acc0 = init_ring_state(b, sq, hd)
+
+            def body(carry, _):
+                kcur, vcur, stat, acc = carry
+                knxt = jax.lax.ppermute(kcur, axis_name, perm)
+                vnxt = jax.lax.ppermute(vcur, axis_name, perm)
+                stat, acc = ring_chunk_update(
+                    q3, kcur, vcur, stat, acc, num_heads=h, scale=scale
+                )
+                return (knxt, vnxt, stat, acc), None
+
+            (_, _, stat, acc), _ = jax.lax.scan(
+                body, (k3, v3, stat0, acc0), None, length=n
+            )
+            st = stat.reshape(b, sq, h // hp, 128)
+            l = jnp.stack(
+                [st[..., (hp + i) * seg] for i in range(hp)], axis=-1
+            ).reshape(b, sq, h)
+            out = acc.reshape(b, sq, h, d) / l[..., None]
+            return out.astype(qc.dtype)
+
+        return jax.shard_map(
+            inner_pallas, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False,
+        )(q, k, v)
 
     def inner(qc, kc, vc):
         b, sq, h, d = qc.shape

@@ -181,3 +181,32 @@ def test_default_grid_scaling_pipeline_path():
         3, 2, 2, 20, 2048, 2048, rope_interpolation_scale=(1.0, 32.0, 32.0)
     )
     np.testing.assert_allclose(grid[:, 1] * 2048, coords[:, 1] * 32, rtol=1e-6)
+
+
+def test_conv3d_taps_matches_xla():
+    """The tap-decomposed (MXU matmul) conv equals the XLA conv oracle
+    across kernel/stride/dilation/causal combinations."""
+    from candle_video_tpu.ops.conv3d import causal_conv3d
+
+    rng = np.random.default_rng(7)
+    cases = [
+        # (Cin, Cout, k, stride, dilation, causal)
+        (8, 16, (3, 3, 3), (1, 1, 1), (1, 1, 1), True),
+        (8, 8, (3, 3, 3), (2, 2, 2), (1, 1, 1), False),
+        (4, 8, (1, 1, 1), (1, 1, 1), (1, 1, 1), True),
+        (8, 4, (3, 1, 1), (1, 2, 2), (1, 1, 1), True),
+        (4, 4, (3, 3, 3), (1, 1, 1), (2, 1, 1), True),
+    ]
+    for cin, cout, k, stride, dil, causal in cases:
+        x = jnp.asarray(rng.normal(size=(2, cin, 5, 8, 9)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(cout, cin, *k)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+        ref = causal_conv3d(x, w, b, stride=stride, dilation=dil,
+                            causal=causal, impl="xla")
+        got = causal_conv3d(x, w, b, stride=stride, dilation=dil,
+                            causal=causal, impl="taps")
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5,
+            err_msg=f"case {(cin, cout, k, stride, dil, causal)}",
+        )

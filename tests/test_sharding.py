@@ -256,3 +256,24 @@ def test_ring_attention_hlo_has_collective_permute():
     )
     assert "collective-permute" in hlo
     assert "all-gather" not in hlo
+
+
+def test_ring_attention_pallas_chunk_matches_oracle():
+    """The fused Pallas chunk-update ring (scores never materialized to
+    HBM) matches the XLA ring and the single-device oracle."""
+    from candle_video_tpu.ops.attention import attention_xla
+    from candle_video_tpu.parallel.sequence import ring_attention
+
+    mesh = make_mesh(dp=1, tp=8)
+    rng = np.random.default_rng(11)
+    for h, d in ((4, 64), (2, 128)):
+        q = jnp.asarray(rng.normal(size=(2, 64, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(2, 64, h, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(2, 64, h, d)), jnp.float32)
+        ref = np.asarray(attention_xla(q, k, v, 0.125))
+        got_xla = np.asarray(ring_attention(q, k, v, 0.125, mesh,
+                                            chunk_impl="xla"))
+        got_pl = np.asarray(ring_attention(q, k, v, 0.125, mesh,
+                                           chunk_impl="pallas"))
+        np.testing.assert_allclose(got_xla, ref, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(got_pl, ref, atol=2e-5, rtol=2e-5)
