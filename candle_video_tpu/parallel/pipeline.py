@@ -44,14 +44,40 @@ def make_pipeline_mesh(pp: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:pp]), axis_names=("pp",))
 
 
-def shard_transformer_params_pp(params, mesh: Mesh, axis_name: str = "pp"):
-    """Place params for PP: block stack layer-sharded, the rest replicated."""
+def shard_transformer_params_pp(params, mesh: Mesh, axis_name: str = "pp",
+                                tp_axis: str | None = None):
+    """Place params for PP: block stack layer-sharded, the rest replicated.
+
+    With ``tp_axis`` (PP x TP composition on a 2-axis mesh): block q/k/v and
+    ff-in weights additionally shard their output dim over ``tp_axis``, and
+    to_out / ff-out their input dim — the same TP layout as
+    ``mesh.transformer_shardings``.  The pipelined forward keeps ``pp``
+    manual (shard_map) and leaves ``tp`` to GSPMD, which inserts the tp
+    all-reduces inside each stage.
+    """
     rep = NamedSharding(mesh, P())
     stage = NamedSharding(mesh, P(axis_name))
 
     def place(path, leaf):
-        is_block = path and getattr(path[0], "key", None) == "blocks"
-        return jax.device_put(leaf, stage if is_block else rep)
+        keys = [getattr(p, "key", None) for p in path]
+        if not keys or keys[0] != "blocks":
+            return jax.device_put(leaf, rep)
+        if tp_axis is not None:
+            if any(k in keys for k in ("to_q", "to_k", "to_v", "net_0_proj")):
+                spec = (
+                    P(axis_name, None, tp_axis)
+                    if leaf.ndim == 3
+                    else P(axis_name, tp_axis)
+                )
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
+            if any(k in keys for k in ("to_out", "net_2")):
+                spec = (
+                    P(axis_name, tp_axis, None)
+                    if leaf.ndim == 3
+                    else P(axis_name)
+                )
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(leaf, stage)
 
     return jax.tree_util.tree_map_with_path(place, params)
 
@@ -175,11 +201,15 @@ def pipeline_transformer_forward(
         outs = jnp.where(stage == pp - 1, outs, jnp.zeros_like(outs))
         return jax.lax.psum(outs, axis_name)
 
+    # manual ONLY over the pp axis: any other mesh axes (e.g. 'tp') stay
+    # under GSPMD, so tp-sharded block params keep their sharding inside
+    # each stage and XLA inserts the tp collectives (PP x TP composition)
     shard = jax.shard_map(
         inner,
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P(), P(), P()),
         out_specs=P(),
+        axis_names=frozenset({axis_name}),
         check_vma=False,
     )
     out = shard(

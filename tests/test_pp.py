@@ -132,3 +132,30 @@ def test_pp_validation_errors(setup):
         )
     with pytest.raises(ValueError, match="need 16 devices"):
         make_pipeline_mesh(16)
+
+
+def test_pp_tp_composition(setup):
+    """PP (manual shard_map) x TP (GSPMD auto): block params tp-sharded on
+    a ('pp','tp') mesh; tp all-reduces appear inside the stages, the pp
+    ring stays collective-permute, and there is NO all-gather of the
+    tp-sharded weights."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    cfg, params, hidden, enc, t, mask, skip, cos, sin, ref = setup
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("pp", "tp"))
+    sharded = shard_transformer_params_pp(params, mesh, tp_axis="tp")
+
+    def fn(p):
+        return pipeline_transformer_forward(
+            p, cfg, hidden, enc, t, cos, sin,
+            mesh=mesh, num_microbatches=2,
+            encoder_attention_mask=mask, skip_layer_mask=jnp.asarray(skip),
+        )
+
+    lowered = jax.jit(fn).lower(sharded)
+    hlo = lowered.compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-reduce" in hlo  # tp collectives inside the stages
+    out = np.asarray(jax.jit(fn)(sharded))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
