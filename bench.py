@@ -132,7 +132,14 @@ def main():
     rng = np.random.default_rng(0)
 
     def fetch(x):
-        np.asarray(jax.tree.leaves(x)[0][:1])
+        # force full device execution but transfer ONE element: the output
+        # buffer must be complete before any part is readable.  (A plain
+        # ``[:1]`` slices nothing on batch-1 outputs — that bug shipped a
+        # full ~200-400 MB host fetch through the tunnel per measurement
+        # and inflated the VAE metric ~10x.)
+        leaf = jax.tree.leaves(x)[0]
+        idx = tuple(0 for _ in range(leaf.ndim - 1)) + (slice(0, 1),)
+        np.asarray(leaf[idx])
 
     # ---- 1. untiled VAE decode (before the 5 GiB encoder is resident —
     # untiled 512x768x97f decode peaks ~9 GiB of activations) ----------------------------------------------

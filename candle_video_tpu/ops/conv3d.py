@@ -10,13 +10,14 @@ implementations behind one interface:
   frame on the left; non-causal = (kt-1)/2 on each side (vae.rs:374-413
   edge semantics).  The correctness oracle, and the CPU path.
 - ``impl="taps"``: the 3D conv decomposed into kt·kh·kw shifted
-  channels-last MATMULS accumulated in f32 — XLA-TPU's native 3D conv
-  lowering measured far below MXU rates at VAE shapes, while an
-  [N, C_in] x [C_in, C_out] dot per tap rides the MXU directly.  Exact
-  same math (taps of a convolution sum), supports stride/dilation;
-  groups fall back to "xla".
-- ``impl="auto"``: taps on TPU (groups == 1), xla otherwise.
-  ``CVT_CONV3D_IMPL`` overrides for experiments.
+  channels-last MATMULS accumulated in f32.  EXPERIMENTAL, measured
+  SLOWER than the XLA conv at real decoder shapes once host-fetch
+  artifacts were excluded (e.g. C=64 49x256x384: 141 vs 49 ms; the XLA
+  lowering reaches 32-64 TF/s at the decoder's real C>=128 stages) —
+  kept as an exact A/B tool.  Supports stride/dilation; groups fall
+  back to "xla".
+- ``impl="auto"``: currently always "xla" (the measured winner on both
+  backends).  ``CVT_CONV3D_IMPL`` overrides for experiments.
 """
 
 from __future__ import annotations
@@ -115,11 +116,7 @@ def causal_conv3d(
 
     impl = os.environ.get("CVT_CONV3D_IMPL", impl)
     if impl == "auto":
-        impl = (
-            "taps"
-            if groups == 1 and _default_backend() in ("tpu", "axon")
-            else "xla"
-        )
+        impl = "xla"
 
     x = x.astype(weight.dtype)
     x = replicate_pad_time(x, kt, dt, causal)
