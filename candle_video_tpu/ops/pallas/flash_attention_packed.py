@@ -31,6 +31,7 @@ Reference call site: src/models/ltx_video/ltx_transformer.rs:699-712.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -258,12 +259,17 @@ def flash_attention_packed(
         )
     if has_split:
         cs = rope_split.astype(jnp.float32)
+        q_tab_dtype = (
+            jnp.bfloat16
+            if os.environ.get("CVT_SPLIT_QTAB_BF16")
+            else jnp.float32
+        )
         in_specs.append(
             pl.BlockSpec(
                 (1, block_q, lanes), lambda bg, qi, _g=n_groups: (0, qi, bg % _g)
             )
         )
-        args.append(pad(cs, block_q))
+        args.append(pad(cs.astype(q_tab_dtype), block_q))
         # k-side tables ride in BF16: the rotated k is stored to a BF16
         # scratch regardless, so table rounding is at the same level as the
         # unavoidable output rounding — and it halves the double-buffered
