@@ -201,3 +201,44 @@ def test_w8a8_quantized_forward_close(tiny_models):
     assert rel < 0.05, f"w8a8 relative error {rel}"
     # and it actually differs (the quantized path ran)
     assert np.abs(got - ref).max() > 0
+
+
+def test_w8a8_quality_gate_production_width():
+    """W8A8 quality gate at the 2B production width (d=2048, 4d FF): the
+    dynamic-activation int8 path must stay within bf16-class error of the
+    f32 forward.  This is the quality gate VERDICT r1 asked for ahead of
+    any serving use of the W8A8 path (docs/roadmap.md perf lever 3);
+    random weights stand in for real checkpoints in this zero-egress env."""
+    cfg = T.LtxTransformerConfig(
+        in_channels=32,
+        out_channels=32,
+        num_attention_heads=32,
+        attention_head_dim=64,
+        cross_attention_dim=2048,
+        num_layers=2,
+        caption_channels=64,
+    )
+    params = T.init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(17)
+    s, b = 192, 1
+    hidden = jnp.asarray(rng.normal(size=(b, s, 32)), jnp.float32)
+    enc = jnp.asarray(rng.normal(size=(b, 24, 64)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    grid = jnp.asarray(
+        np.stack(np.meshgrid(np.arange(2.0), np.arange(8.0), np.arange(12.0),
+                             indexing="ij"), -1).reshape(-1, 3)
+    )[None] / jnp.asarray([20.0, 2048.0, 2048.0])
+    from candle_video_tpu.ops.rope import rope_cos_sin
+    cos, sin = rope_cos_sin(grid, cfg.inner_dim)
+
+    ref = np.asarray(
+        T.forward(params, cfg, hidden, enc, t, cos, sin, attn_impl="xla")
+    )
+    got = np.asarray(
+        T.forward(T.quantize_transformer_params(params), cfg, hidden, enc, t,
+                  cos, sin, attn_impl="xla")
+    )
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.03, f"W8A8 relative error {rel:.4f} at production width"
+    mse = float(np.mean((got - ref) ** 2)) / float(np.mean(ref**2) + 1e-12)
+    assert mse < 1e-3, f"W8A8 relative MSE {mse:.2e}"
