@@ -148,3 +148,46 @@ def test_permute_params_rejects_w8a8():
     qparams = TF.quantize_transformer_params(params)
     with pytest.raises(ValueError, match="W8A8"):
         TF.permute_params_rope_split(qparams, cfg)
+
+
+def test_denoise_loop_split_matches_standard(rng):
+    """The full denoise scan with the split-rope fast path (permuted
+    params + compact tables + packed kernel) matches the standard path —
+    guards the generate()-level wiring end to end."""
+    from candle_video_tpu.models.ltx_video import pipeline as P
+    from candle_video_tpu.models.ltx_video import scheduler as S
+
+    cfg = TF.LtxTransformerConfig(
+        in_channels=8, out_channels=8, num_attention_heads=2,
+        attention_head_dim=64, cross_attention_dim=128, caption_channels=16,
+        num_layers=2,
+    )
+    params = TF.init_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    f, h, w = 2, 2, 3
+    lat = jnp.asarray(rng.normal(size=(1, f * h * w, 8)), jnp.float32)
+    enc = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+    mask = jnp.ones((2, 5), jnp.float32)
+    grid = normalize_video_coords(
+        jnp.asarray(video_coords_grid(f, h, w))[None], 20, 2048, 2048
+    )
+    cos, sin = rope_cos_sin(grid, cfg.inner_dim)
+    sch = S.set_timesteps(S.FlowMatchEulerSchedulerConfig(), num_inference_steps=3)
+    skip = jnp.zeros((cfg.num_layers, 2), jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    ref = P.denoise_loop(
+        params, cfg, lat, enc, mask, sch.sigmas_jnp, sch.timesteps_jnp,
+        cos, sin, jnp.float32(3.0), jnp.float32(0.0), jnp.float32(0.0),
+        skip, key, num_conds=2, attn_impl="xla",
+    )
+    got = P.denoise_loop(
+        TF.permute_params_rope_split(params, cfg), cfg, lat, enc, mask,
+        sch.sigmas_jnp, sch.timesteps_jnp, cos, sin,
+        jnp.float32(3.0), jnp.float32(0.0), jnp.float32(0.0),
+        skip, key, num_conds=2, attn_impl="pallas",
+        rope_split=rope_split_tables(cos, sin),
+    )
+    # bf16-level: the packed kernel runs bf16 k tables + bf16 p matmuls
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
