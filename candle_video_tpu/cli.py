@@ -88,7 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persistent XLA compilation cache dir ('' disables); "
                         "makes repeat cold-starts fast")
     p.add_argument("--mesh", type=str, default=None,
-                   help="device mesh spec, e.g. 'dp=1,tp=4' for sharded 13B")
+                   help="device mesh spec: 'dp=1,tp=4' (tensor-parallel 13B) "
+                        "or 'pp=4[,interleave=2]' (pipelined denoise)")
     return p
 
 
@@ -144,11 +145,12 @@ def load_pipeline(args):
         t5_params = T5.params_from_gguf(
             args.t5_gguf, t5_cfg, dtype,
             keep_quantized=args.t5_keep_quantized,
+            stacked=True,  # scan layout: 24x smaller HLO, fast cold start
         )
     elif args.t5_dir:
         print(f"Loading T5 dir: {args.t5_dir}")
         sd = load_sharded(args.t5_dir)
-        t5_params = T5.params_from_hf_state_dict(sd, t5_cfg, dtype)
+        t5_params = T5.params_from_hf_state_dict(sd, t5_cfg, dtype, stacked=True)
 
     if args.tokenizer:
         tokenizer = T5TokenizerWrapper(args.tokenizer, args.max_sequence_length)
@@ -188,16 +190,29 @@ def main(argv=None) -> int:
     pipe = load_pipeline(args)
 
     mesh_ctx = None
+    pp_kwargs = {}
     if args.mesh:
-        from .parallel import make_mesh, shard_transformer_params
-
         spec = dict(kv.split("=") for kv in args.mesh.split(","))
-        mesh_ctx = make_mesh(dp=int(spec.get("dp", 1)), tp=int(spec.get("tp", 1)))
-        print(f"mesh: dp={spec.get('dp', 1)} tp={spec.get('tp', 1)}")
-        with mesh_ctx:
-            pipe.transformer_params = shard_transformer_params(
-                pipe.transformer_params, mesh_ctx
+        pp = int(spec.get("pp", 1))
+        if pp > 1:
+            # pipeline-parallel mode: generate() shards the block stack over
+            # the 'pp' axis and runs the pipelined denoise scan
+            from .parallel import make_pipeline_mesh
+
+            pp_kwargs = dict(
+                pp_mesh=make_pipeline_mesh(pp),
+                pp_interleave=int(spec.get("interleave", 1)),
             )
+            print(f"mesh: pp={pp} interleave={spec.get('interleave', 1)}")
+        else:
+            from .parallel import make_mesh, shard_transformer_params
+
+            mesh_ctx = make_mesh(dp=int(spec.get("dp", 1)), tp=int(spec.get("tp", 1)))
+            print(f"mesh: dp={spec.get('dp', 1)} tp={spec.get('tp', 1)}")
+            with mesh_ctx:
+                pipe.transformer_params = shard_transformer_params(
+                    pipe.transformer_params, mesh_ctx
+                )
 
     kwargs = {}
     if args.embeddings_file:
@@ -275,7 +290,8 @@ def main(argv=None) -> int:
             attn_impl=args.attn_impl,
             use_vae_tiling=args.vae_tiling,
             use_vae_slicing=args.vae_slicing,
-            step_callback=step_callback,
+            step_callback=None if pp_kwargs else step_callback,
+            **pp_kwargs,
             **kwargs,
         )
     import numpy as _np

@@ -106,6 +106,30 @@ def postprocess_video(video):
 # ---------------------------------------------------------------------------
 
 
+def guidance_combine(pred, b, num_conds, guidance_scale, guidance_rescale,
+                     stg_scale):
+    """CFG/STG combination of batched guidance rows [uncond; cond; perturbed]
+    (t2v_pipeline.rs:941-963).  Shared by the single-mesh and PP loops."""
+    if num_conds == 3:
+        uncond, text, perturbed = pred[:b], pred[b : 2 * b], pred[2 * b :]
+        combined = uncond + guidance_scale * (text - uncond)
+        combined = jnp.where(
+            guidance_rescale > 0,
+            rescale_noise_cfg(combined, text, guidance_rescale),
+            combined,
+        )
+        return combined + stg_scale * (text - perturbed)
+    if num_conds == 2:
+        uncond, text = pred[:b], pred[b:]
+        combined = uncond + guidance_scale * (text - uncond)
+        return jnp.where(
+            guidance_rescale > 0,
+            rescale_noise_cfg(combined, text, guidance_rescale),
+            combined,
+        )
+    return pred
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tcfg", "num_conds", "stochastic", "attn_impl", "use_skip"),
@@ -163,25 +187,9 @@ def denoise_loop(
             rope_split=rope_split,
         ).astype(jnp.float32)
 
-        if num_conds == 3:  # [uncond; cond; perturbed]
-            uncond, text, perturbed = pred[:b], pred[b : 2 * b], pred[2 * b :]
-            combined = uncond + guidance_scale * (text - uncond)
-            combined = jnp.where(
-                guidance_rescale > 0,
-                rescale_noise_cfg(combined, text, guidance_rescale),
-                combined,
-            )
-            combined = combined + stg_scale * (text - perturbed)
-        elif num_conds == 2:  # [uncond; cond] (pure CFG)
-            uncond, text = pred[:b], pred[b:]
-            combined = uncond + guidance_scale * (text - uncond)
-            combined = jnp.where(
-                guidance_rescale > 0,
-                rescale_noise_cfg(combined, text, guidance_rescale),
-                combined,
-            )
-        else:
-            combined = pred
+        combined = guidance_combine(
+            pred, b, num_conds, guidance_scale, guidance_rescale, stg_scale
+        )
 
         if stochastic:
             key, sub = jax.random.split(key)
@@ -401,6 +409,7 @@ def generate(
     negative_prompt_attention_mask=None,
     decode_timestep: Optional[Sequence[float]] = None,
     decode_noise_scale: Optional[Sequence[float]] = None,
+    decode_noise=None,  # [B,C,F',H',W'] pre-drawn decode noise (per-row surface)
     output_type: str = "tensor",  # "latent" | "tensor"
     max_sequence_length: int = 128,
     use_pcg_rng: bool = True,
@@ -410,8 +419,15 @@ def generate(
     use_vae_slicing: bool = False,
     decode_fn=None,
     step_callback=None,
+    pp_mesh=None,  # jax.sharding.Mesh with a 'pp' axis: pipeline-parallel mode
+    pp_microbatches: Optional[int] = None,
+    pp_interleave: int = 1,
 ):
-    """End-to-end text-to-video generation (t2v_pipeline.rs:627-1073)."""
+    """End-to-end text-to-video generation (t2v_pipeline.rs:627-1073).
+
+    ``pp_mesh``: run the denoise scan with the DiT block stack pipelined
+    over the mesh's 'pp' axis (parallel.denoise_loop_pp) — GPipe by default,
+    interleaved virtual stages with ``pp_interleave>1``."""
     cfg = pipe.config
     inf = cfg.inference
     tcfg = cfg.transformer
@@ -560,7 +576,7 @@ def generate(
     # k-rotation pass and halves rope-table HBM traffic, exactly.
     rope_split = None
     t_params = pipe.transformer_params
-    if _use_split_rope(pipe, tcfg, seq_len, attn_impl):
+    if pp_mesh is None and _use_split_rope(pipe, tcfg, seq_len, attn_impl):
         from ...ops.rope import rope_split_tables
 
         rope_split = rope_split_tables(rope_cos, rope_sin)
@@ -582,7 +598,27 @@ def generate(
 
     # ---- denoise ---------------------------------------------------------------
     stochastic = cfg.scheduler.stochastic_sampling or inf.stochastic_sampling
-    if step_callback is not None or pipe.interrupt:
+    if pp_mesh is not None:
+        from ...parallel import denoise_loop_pp, shard_transformer_params_pp
+
+        if step_callback is not None:
+            raise ValueError("step_callback is not supported in PP mode")
+        pp_params = shard_transformer_params_pp(
+            t_params, pp_mesh,
+            tp_axis="tp" if "tp" in pp_mesh.shape else None,
+            interleave=pp_interleave,
+        )
+        final = denoise_loop_pp(
+            pp_params, tcfg, latents, enc_states, enc_mask,
+            schedule.sigmas_jnp, schedule.timesteps_jnp, rope_cos, rope_sin,
+            guidance_scale, guidance_rescale if do_cfg else 0.0, stg_scale,
+            jnp.asarray(skip_mask), jax.random.PRNGKey(seed + 1),
+            mesh=pp_mesh, num_conds=num_conds, stochastic=stochastic,
+            attn_impl="xla" if attn_impl == "auto" else attn_impl,
+            use_skip=bool(use_skip),
+            num_microbatches=pp_microbatches, interleave=pp_interleave,
+        )
+    elif step_callback is not None or pipe.interrupt:
         final = denoise_stepwise(
             pipe, t_params, tcfg, latents, enc_states, enc_mask,
             schedule, rope_cos, rope_sin,
@@ -643,7 +679,14 @@ def generate(
             dns = dns * eff_batch
         temb = jnp.asarray(dt, jnp.float32)
         scale = jnp.asarray(dns, jnp.float32).reshape(eff_batch, 1, 1, 1, 1)
-        noise = jax.random.normal(jax.random.PRNGKey(seed + 2), lat5.shape, lat5.dtype)
+        if decode_noise is not None:
+            # caller-supplied per-sample noise (serving uses this so batched
+            # requests reproduce each row's single-request decode stream)
+            noise = jnp.asarray(decode_noise, lat5.dtype)
+        else:
+            noise = jax.random.normal(
+                jax.random.PRNGKey(seed + 2), lat5.shape, lat5.dtype
+            )
         lat5 = (1.0 - scale) * lat5 + scale * noise
 
     video = V.decode(

@@ -78,7 +78,10 @@ def position_bias(params, cfg: T5Config, seq_len: int) -> jnp.ndarray:
         cfg.relative_attention_num_buckets,
         cfg.relative_attention_max_distance,
     )
-    table = params["blocks"][0]["attn"]["relative_attention_bias"]  # [buckets, H]
+    if "rel_bias" in params:  # stacked (scan) layout
+        table = params["rel_bias"]
+    else:
+        table = params["blocks"][0]["attn"]["relative_attention_bias"]  # [buckets, H]
     bias = jnp.asarray(table)[jnp.asarray(buckets)]  # [S, S, H]
     return jnp.transpose(bias, (2, 0, 1))[None].astype(jnp.float32)
 
@@ -150,13 +153,53 @@ def forward(
         bias = bias + ext[:, None, None, :]
 
     eps = cfg.layer_norm_epsilon
-    for blk in params["blocks"]:
+    blocks = params["blocks"]
+
+    def block_fwd(x, blk):
         normed = rms_norm(x, blk["attn_norm"]["weight"], eps=eps)
         x = x + _attention(blk["attn"], cfg, normed, bias)
         normed = rms_norm(x, blk["ffn_norm"]["weight"], eps=eps)
         x = x + _ffn(blk["ffn"], normed)
+        return x
+
+    if isinstance(blocks, (list, tuple)):  # per-layer list (legacy layout)
+        for blk in blocks:
+            x = block_fwd(x, blk)
+    else:
+        # stacked layout: one traced block under lax.scan — 24x smaller
+        # HLO, cutting compile/cold-start time (the reference pays neither
+        # cost: Rust loops are free; under XLA the unrolled loop is not)
+        x, _ = jax.lax.scan(lambda h, blk: (block_fwd(h, blk), None), x, blocks)
 
     return rms_norm(x, params["final_norm"]["weight"], eps=eps)
+
+
+def stack_blocks(params):
+    """Convert per-layer list params into the scan-ready stacked layout.
+
+    The layer-0 ``relative_attention_bias`` (the only per-layer structural
+    difference, quantized_t5_encoder.rs:126-154) moves to ``params['rel_bias']``.
+    Stacking runs host-side in numpy so device HBM never holds two copies
+    (stacking on-device doubles peak memory).
+    """
+    import jax.tree_util as jtu
+
+    blocks = params["blocks"]
+    if not isinstance(blocks, (list, tuple)):
+        return params
+    rel = blocks[0]["attn"].get("relative_attention_bias")
+    clean = []
+    for blk in blocks:
+        attn = {k: v for k, v in blk["attn"].items()
+                if k != "relative_attention_bias"}
+        clean.append({**blk, "attn": attn})
+    stacked = jtu.tree_map(
+        lambda *xs: jnp.asarray(np.stack([np.asarray(x) for x in xs])), *clean
+    )
+    out = {**params, "blocks": stacked}
+    if rel is not None:
+        out["rel_bias"] = rel
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -164,11 +207,33 @@ def forward(
 # ---------------------------------------------------------------------------
 
 
+def _finish_params(params, blocks_np, rel_bias_np, stacked: bool):
+    """Assemble the blocks (built host-side as numpy) into the requested
+    layout and transfer to device once."""
+    import jax.tree_util as jtu
+
+    if stacked:
+        params["blocks"] = jtu.tree_map(
+            lambda *xs: jnp.asarray(np.stack(xs)), *blocks_np
+        )
+        if rel_bias_np is not None:
+            params["rel_bias"] = jnp.asarray(rel_bias_np, jnp.float32)
+    else:
+        blocks = [jtu.tree_map(jnp.asarray, blk) for blk in blocks_np]
+        if rel_bias_np is not None:
+            blocks[0]["attn"]["relative_attention_bias"] = jnp.asarray(
+                rel_bias_np, jnp.float32
+            )
+        params["blocks"] = blocks
+    return params
+
+
 def params_from_gguf(
     path: str,
     cfg: Optional[T5Config] = None,
     dtype=jnp.bfloat16,
     keep_quantized: bool = False,
+    stacked: bool = False,
 ):
     """Load from a GGUF file with enc.blk.N.* names
     (quantized_t5_encoder.rs:126-154, 574-604).
@@ -180,6 +245,9 @@ def params_from_gguf(
     memory semantics (quantized_t5_encoder.rs:60-71; saves ~8 GB,
     reference README.md:95).  Q8_0 payloads are carried bit-exactly; K-quant
     and float tensors are requantized to int8 groups of 32 at load.
+    ``stacked=True``: blocks land as ONE stacked [L, ...] pytree driven by
+    ``lax.scan`` in forward — 24x smaller HLO, much faster compile.  The
+    stack is built host-side, so HBM only ever holds the final arrays.
     """
     from ...quant import dequant_np as DQ
     from ...quant.gguf import GGUFFile
@@ -191,7 +259,7 @@ def params_from_gguf(
         arr = f.tensor(name)
         if transpose:
             arr = np.ascontiguousarray(arr.T)
-        return jnp.asarray(arr, dtype)
+        return np.asarray(arr).astype(dtype)
 
     def lin(name):
         """Linear weight entry: dense [in, out] or quantized {w_q, s}."""
@@ -210,9 +278,10 @@ def params_from_gguf(
         else:
             w = f.tensor(name).reshape(out_dim, in_dim)
             w_q, s = quantize_int8_blockwise(np.ascontiguousarray(w.T))
-        return {"w_q": jnp.asarray(w_q), "s": jnp.asarray(s)}
+        return {"w_q": w_q, "s": s}
 
     blocks = []
+    rel_bias = None
     for i in range(cfg.num_layers):
         pre = f"enc.blk.{i}"
         blk = {
@@ -232,22 +301,22 @@ def params_from_gguf(
         }
         if i == 0:
             # GGUF stores [num_buckets, num_heads]
-            blk["attn"]["relative_attention_bias"] = jnp.asarray(
-                f.tensor(f"{pre}.attn_rel_b.weight"), jnp.float32
-            )
+            rel_bias = np.asarray(f.tensor(f"{pre}.attn_rel_b.weight"),
+                                  np.float32)
         blocks.append(blk)
 
     params = {
-        "embedding": t("token_embd.weight"),
-        "blocks": blocks,
-        "final_norm": {"weight": t("enc.output_norm.weight")},
+        "embedding": jnp.asarray(t("token_embd.weight")),
+        "final_norm": {"weight": jnp.asarray(t("enc.output_norm.weight"))},
     }
+    params = _finish_params(params, blocks, rel_bias, stacked)
     f.close()
     return params
 
 
 def params_from_hf_state_dict(sd: Dict[str, np.ndarray], cfg: Optional[T5Config] = None,
-                              dtype=jnp.bfloat16, prefix: str = ""):
+                              dtype=jnp.bfloat16, prefix: str = "",
+                              stacked: bool = False):
     """Load from a HuggingFace transformers T5EncoderModel state dict
     (names: encoder.block.N.layer.{0,1}...)."""
     cfg = cfg or t5_xxl()
@@ -256,9 +325,10 @@ def params_from_hf_state_dict(sd: Dict[str, np.ndarray], cfg: Optional[T5Config]
         arr = np.asarray(sd[prefix + name])
         if transpose:
             arr = np.ascontiguousarray(arr.T)
-        return jnp.asarray(arr, dtype)
+        return arr.astype(dtype)
 
     blocks = []
+    rel_bias = None
     for i in range(cfg.num_layers):
         pre = f"encoder.block.{i}"
         blk = {
@@ -278,18 +348,16 @@ def params_from_hf_state_dict(sd: Dict[str, np.ndarray], cfg: Optional[T5Config]
         }
         if i == 0:
             # HF stores [num_buckets, num_heads] as an embedding table
-            blk["attn"]["relative_attention_bias"] = jnp.asarray(
-                np.asarray(
-                    sd[prefix + f"{pre}.layer.0.SelfAttention"
-                       ".relative_attention_bias.weight"]
-                ),
-                jnp.float32,
+            rel_bias = np.asarray(
+                sd[prefix + f"{pre}.layer.0.SelfAttention"
+                   ".relative_attention_bias.weight"],
+                np.float32,
             )
         blocks.append(blk)
 
     emb_key = "shared.weight" if prefix + "shared.weight" in sd else "encoder.embed_tokens.weight"
-    return {
-        "embedding": t(emb_key),
-        "blocks": blocks,
-        "final_norm": {"weight": t("encoder.final_layer_norm.weight")},
+    params = {
+        "embedding": jnp.asarray(t(emb_key)),
+        "final_norm": {"weight": jnp.asarray(t("encoder.final_layer_norm.weight"))},
     }
+    return _finish_params(params, blocks, rel_bias, stacked)

@@ -126,9 +126,14 @@ def ring_attention(
             f"'{axis_name}' size {n}"
         )
     if chunk_impl == "auto":
+        # The fused pallas chunk kernel requires the lane-group layout
+        # (same viability condition as flash_attention_packed): head_dim
+        # divides 128 and num_heads divides evenly into lane groups.
+        h, d = q.shape[2], q.shape[3]
+        lane_ok = d <= 128 and 128 % d == 0 and h % (128 // d) == 0
         chunk_impl = (
             "pallas"
-            if jax.devices()[0].platform in ("tpu", "axon")
+            if lane_ok and jax.devices()[0].platform in ("tpu", "axon")
             else "xla"
         )
 

@@ -12,14 +12,17 @@ so the runtime layer offers:
 - **continuous batching** (``max_batch > 1``): the worker drains same-bucket
   embed-carrying requests from the queue and serves them as ONE batched
   ``generate`` call — per-request seeds are honored by building each row's
-  initial latents with its own Pcg32 stream (exactly what a single-request
-  call would draw) and injecting the concatenated batch.  Non-matching
-  requests are requeued.  The already-batched CFG/STG rows stack on the same
-  batch axis, so a batch of N costs one forward of N×num_conds rows.
-  Limitation: with a timestep-conditioned VAE the decode-noise stream comes
-  from the lead request's seed (per-row decode noise would need generate's
-  noise injection surface); ``output_type="latent"`` is bit-faithful per
-  request.
+  initial latents with its own RNG stream (Pcg32 or jax.random, matching the
+  configured ``use_pcg_rng`` — exactly what a single-request call would
+  draw) and injecting the concatenated batch.  With a timestep-conditioned
+  VAE the decode noise is likewise pre-drawn per row from each request's
+  own ``PRNGKey(seed+2)`` and injected via generate's ``decode_noise``
+  surface, so batched results are bit-identical to individual serving for
+  both ``output_type="latent"`` and ``"tensor"``.  Non-matching requests
+  are held in a bounded pending list consumed before new queue items (no
+  starvation, submission order preserved within a compatibility class).
+  The already-batched CFG/STG rows stack on the same batch axis, so a
+  batch of N costs one forward of N×num_conds rows.
 - **stats**: per-bucket latency, queue depth, served count, batch sizes.
 """
 
@@ -72,6 +75,8 @@ class VideoGenerationServer:
         self._max_batch = max(1, int(max_batch))
         self._gen_kwargs = generate_kwargs
         self._queue: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
+        # items skipped by _drain_batch, consumed before new queue items
+        self._pending: list = []
         self._stats: Dict[Tuple, Dict[str, float]] = {}
         self._served = 0
         self._worker: Optional[threading.Thread] = None
@@ -218,7 +223,17 @@ class VideoGenerationServer:
 
     def _drain_batch(self, first):
         batch = [first]
-        requeue = []
+        skipped = []
+        # older skipped items first (no starvation), then fresh queue items
+        candidates = list(self._pending)
+        self._pending = []
+        while len(batch) < self._max_batch and candidates:
+            item = candidates.pop(0)
+            if self._batchable(batch[0][0], item[0]):
+                batch.append(item)
+            else:
+                skipped.append(item)
+        skipped = skipped + candidates
         while len(batch) < self._max_batch:
             try:
                 item = self._queue.get_nowait()
@@ -230,21 +245,44 @@ class VideoGenerationServer:
             if self._batchable(batch[0][0], item[0]):
                 batch.append(item)
             else:
-                requeue.append(item)
-        for item in requeue:
-            self._queue.put(item)
+                skipped.append(item)
+        self._pending = skipped
         return batch
 
-    def _row_latents(self, request: Request, bucket: ShapeBucket):
-        """The exact initial latents a single-request call would draw."""
-        from .utils.rng import Pcg32
-
+    def _latent_shape(self, bucket: ShapeBucket):
         tcfg = self._pipe.config.transformer
         vcfg = self._pipe.config.vae
         f = (bucket.num_frames - 1) // vcfg.temporal_compression_ratio + 1
         h = bucket.height // vcfg.spatial_compression_ratio
         w = bucket.width // vcfg.spatial_compression_ratio
-        return Pcg32(request.seed, 0).randn((1, tcfg.in_channels, f, h, w))
+        return (1, tcfg.in_channels, f, h, w)
+
+    def _row_latents(self, request: Request, bucket: ShapeBucket):
+        """The exact initial latents a single-request call would draw
+        (mirrors generate()'s use_pcg_rng branch)."""
+        shape = self._latent_shape(bucket)
+        if self._gen_kwargs.get("use_pcg_rng", True):
+            from .utils.rng import Pcg32
+
+            return Pcg32(request.seed, 0).randn(shape)
+        import jax
+        import jax.numpy as jnp  # noqa: F401
+
+        return np.asarray(
+            jax.random.normal(jax.random.PRNGKey(request.seed), shape, jnp.float32)
+        )
+
+    def _row_decode_noise(self, request: Request, bucket: ShapeBucket):
+        """The exact decode noise a single-request call would draw
+        (generate() draws PRNGKey(seed+2) at the single-sample shape)."""
+        import jax
+        import jax.numpy as jnp
+
+        shape = self._latent_shape(bucket)
+        return np.asarray(
+            jax.random.normal(jax.random.PRNGKey(request.seed + 2), shape,
+                              jnp.float32)
+        )
 
     def _serve_batch(self, items):
         """Serve same-bucket requests as one batched generate call."""
@@ -259,6 +297,16 @@ class VideoGenerationServer:
             np.concatenate([self._row_latents(r, b) for r in requests], axis=0),
             jnp.float32,
         )
+        decode_noise = None
+        if (requests[0].output_type != "latent"
+                and self._pipe.vae_params is not None
+                and self._pipe.config.vae.timestep_conditioning):
+            decode_noise = jnp.asarray(
+                np.concatenate(
+                    [self._row_decode_noise(r, b) for r in requests], axis=0
+                ),
+                jnp.float32,
+            )
         cat = lambda xs: jnp.concatenate([jnp.asarray(x) for x in xs], axis=0)
         neg = requests[0].negative_prompt_embeds is not None
         out = generate(
@@ -273,6 +321,7 @@ class VideoGenerationServer:
                 if neg else None
             ),
             latents=latents,
+            decode_noise=decode_noise,
             seed=requests[0].seed,
             output_type=requests[0].output_type,
             **self._bucket_kwargs(b),
@@ -288,9 +337,12 @@ class VideoGenerationServer:
 
     def _loop(self):
         while not self._stop.is_set():
-            item = self._queue.get()
-            if item[0] is None:
-                continue
+            if self._pending:
+                item = self._pending.pop(0)
+            else:
+                item = self._queue.get()
+                if item[0] is None:
+                    continue
             batch = self._drain_batch(item) if self._max_batch > 1 else [item]
             if len(batch) == 1:
                 request, out = batch[0]

@@ -121,6 +121,139 @@ def test_continuous_batching(tiny_pipe):
     assert server.stats()["served"] == 3
 
 
+@pytest.fixture(scope="module")
+def tiny_pipe_vae():
+    """Pipeline WITH a timestep-conditioned VAE (tensor output path)."""
+    from candle_video_tpu.models.ltx_video import transformer as TF
+    from candle_video_tpu.models.ltx_video import vae as V
+    from candle_video_tpu.models.ltx_video.configs import (
+        LtxFullConfig,
+        LtxInferenceConfig,
+    )
+    from candle_video_tpu.models.ltx_video.pipeline import LtxPipeline
+    from candle_video_tpu.models.ltx_video.scheduler import (
+        FlowMatchEulerSchedulerConfig,
+    )
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
+
+    tcfg = TF.LtxTransformerConfig(
+        in_channels=8, out_channels=8, num_attention_heads=2,
+        attention_head_dim=12, cross_attention_dim=24, num_layers=2,
+        caption_channels=16,
+    )
+    vcfg = V.LtxVaeConfig(
+        in_channels=3, out_channels=3, latent_channels=8,
+        block_out_channels=(8, 16, 32), decoder_block_out_channels=(8, 16),
+        spatiotemporal_scaling=(True, True),
+        decoder_spatiotemporal_scaling=(True, True),
+        layers_per_block=(1, 1, 2), decoder_layers_per_block=(1, 1, 1),
+        patch_size=2, patch_size_t=1,
+        downsample_types=("spatiotemporal", "spatiotemporal"),
+        decoder_upsample_residual=(True, True), decoder_upsample_factor=(2, 2),
+        timestep_conditioning=True, decoder_causal=False,
+        spatial_compression_ratio=32, temporal_compression_ratio=4,
+    )
+    full = LtxFullConfig(
+        inference=LtxInferenceConfig(
+            guidance_scale=1.0, num_inference_steps=2, stg_scale=0.0,
+            skip_block_list=(), decode_timestep=(0.05,),
+            decode_noise_scale=(0.025,),
+        ),
+        transformer=tcfg,
+        vae=vcfg,
+        scheduler=FlowMatchEulerSchedulerConfig(shift_terminal=0.1),
+    )
+    tparams = TF.init_params(jax.random.PRNGKey(0), tcfg, dtype=jnp.float32)
+    vparams = init_vae_params(jax.random.PRNGKey(1), vcfg, dtype=jnp.float32)
+    return LtxPipeline(config=full, transformer_params=tparams,
+                       vae_params=vparams)
+
+
+def _treq(seed=1):
+    emb = jnp.asarray(np.random.default_rng(seed).normal(size=(1, 8, 16)) * 0.3,
+                      jnp.float32)
+    mask = jnp.ones((1, 8), jnp.float32)
+    return Request(prompt_embeds=emb, prompt_attention_mask=mask,
+                   output_type="tensor", seed=seed)
+
+
+def test_batched_tensor_output_bit_identical(tiny_pipe_vae):
+    """Batched tensor-output requests match individual serving bit-for-bit:
+    per-row initial latents AND per-row decode noise (generate's
+    ``decode_noise`` surface) both come from each request's own seed."""
+    bucket = ShapeBucket(64, 64, 5, 2)
+    single = VideoGenerationServer(
+        tiny_pipe_vae, [bucket], max_sequence_length=8, attn_impl="xla",
+    )
+    expected = [np.asarray(single.generate_sync(_treq(seed=i))) for i in (1, 2)]
+
+    server = VideoGenerationServer(
+        tiny_pipe_vae, [bucket], max_batch=2, max_sequence_length=8,
+        attn_impl="xla",
+    )
+    outs = [server.submit(_treq(seed=i)) for i in (1, 2)]
+    server.start()
+    try:
+        results = [q.get(timeout=300) for q in outs]
+    finally:
+        server.stop()
+    for r, e in zip(results, expected):
+        assert not isinstance(r, Exception), r
+        assert r.shape == e.shape
+        np.testing.assert_allclose(np.asarray(r), e, atol=1e-5, rtol=1e-5)
+
+
+def test_row_latents_respect_use_pcg_rng(tiny_pipe):
+    """When the server is configured with use_pcg_rng=False, batched rows
+    draw jax.random latents exactly like a single-request call would."""
+    bucket = ShapeBucket(64, 64, 9, 2)
+    single = VideoGenerationServer(
+        tiny_pipe, [bucket], max_sequence_length=8, attn_impl="xla",
+        use_pcg_rng=False,
+    )
+    expected = [np.asarray(single.generate_sync(_req(seed=i))) for i in (5, 6)]
+
+    server = VideoGenerationServer(
+        tiny_pipe, [bucket], max_batch=2, max_sequence_length=8,
+        attn_impl="xla", use_pcg_rng=False,
+    )
+    outs = [server.submit(_req(seed=i)) for i in (5, 6)]
+    server.start()
+    try:
+        results = [q.get(timeout=300) for q in outs]
+    finally:
+        server.stop()
+    for r, e in zip(results, expected):
+        assert not isinstance(r, Exception), r
+        np.testing.assert_allclose(np.asarray(r), e, atol=1e-5, rtol=1e-5)
+
+
+def test_skipped_requests_not_starved(tiny_pipe):
+    """A non-batchable request held out of a batch is served from the
+    pending list before new queue items (no starvation)."""
+    small = ShapeBucket(64, 64, 9, 2)
+    big = ShapeBucket(96, 96, 9, 2)
+    server = VideoGenerationServer(
+        tiny_pipe, [small, big], max_batch=4, max_sequence_length=8,
+        attn_impl="xla",
+    )
+    big_req = Request(prompt_embeds=_req(2).prompt_embeds,
+                      prompt_attention_mask=_req(2).prompt_attention_mask,
+                      bucket=big, output_type="latent", seed=2)
+    # enqueue: small, big, small, small — the big one must still be served
+    outs = [server.submit(_req(seed=1)), server.submit(big_req),
+            server.submit(_req(seed=3)), server.submit(_req(seed=4))]
+    server.start()
+    try:
+        results = [q.get(timeout=300) for q in outs]
+    finally:
+        server.stop()
+    for r in results:
+        assert not isinstance(r, Exception), r
+    assert results[1].shape == (1, 3 * 3 * 2, 8)
+    assert server.stats()["served"] == 4
+
+
 def test_batching_mixed_buckets_requeue(tiny_pipe):
     """Non-matching requests are requeued and served separately."""
     small = ShapeBucket(64, 64, 9, 2)

@@ -140,3 +140,78 @@ def test_gguf_t5_load_and_forward(tmp_path, rng):
     out = T5.forward(params, cfg, jnp.asarray(ids))
     assert out.shape == (1, 10, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stacked_forward_matches_loop(tiny_t5, rng):
+    """The scan-stacked layout (stacked=True / stack_blocks) must reproduce
+    the per-layer loop bit-for-bit semantics."""
+    model, cfg, params = tiny_t5
+    from candle_video_tpu.models.ltx_video.loader import torch_state_dict_to_numpy
+
+    sd = torch_state_dict_to_numpy(model.state_dict())
+    stacked = T5.params_from_hf_state_dict(sd, cfg, dtype=jnp.float32,
+                                           stacked=True)
+    assert not isinstance(stacked["blocks"], (list, tuple))
+    assert "rel_bias" in stacked
+
+    ids = rng.integers(0, TINY["vocab_size"], size=(2, 11)).astype(np.int32)
+    mask = np.ones((2, 11), np.float32)
+    mask[1, 7:] = 0
+    ref = np.asarray(
+        T5.forward(params, cfg, jnp.asarray(ids), attention_mask=jnp.asarray(mask))
+    )
+    got = np.asarray(
+        T5.forward(stacked, cfg, jnp.asarray(ids), attention_mask=jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    # post-hoc conversion of already-loaded params agrees too
+    conv = T5.stack_blocks(params)
+    got2 = np.asarray(
+        T5.forward(conv, cfg, jnp.asarray(ids), attention_mask=jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(got2, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_stacked_gguf_quantized_forward(tmp_path, rng):
+    """stacked=True composes with keep_quantized int8-in-HBM weights."""
+    from candle_video_tpu.quant import dequant_np as DQ
+    from candle_video_tpu.quant.gguf import write_gguf
+
+    cfg = T5.T5Config(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4
+    )
+    tensors = {}
+
+    def add(name, shape, quant=True):
+        x = rng.normal(size=shape).astype(np.float32) * 0.1
+        if quant and x.size % 32 == 0:
+            tensors[name] = (DQ.GGML_Q8_0, shape, DQ.quantize_q8_0(x))
+        else:
+            tensors[name] = (DQ.GGML_F32, shape, x.view(np.uint8).reshape(-1))
+        return x
+
+    add("token_embd.weight", (64, 32))
+    add("enc.output_norm.weight", (32,), quant=False)
+    for i in range(2):
+        pre = f"enc.blk.{i}"
+        for nm, shp in [("attn_q", (32, 32)), ("attn_k", (32, 32)),
+                        ("attn_v", (32, 32)), ("attn_o", (32, 32)),
+                        ("ffn_gate", (64, 32)), ("ffn_up", (64, 32)),
+                        ("ffn_down", (32, 64))]:
+            add(f"{pre}.{nm}.weight", shp)
+        add(f"{pre}.attn_norm.weight", (32,), quant=False)
+        add(f"{pre}.ffn_norm.weight", (32,), quant=False)
+    add("enc.blk.0.attn_rel_b.weight", (32, 4), quant=False)
+
+    path = str(tmp_path / "t5q.gguf")
+    write_gguf(path, tensors, {"general.architecture": "t5"})
+    ids = rng.integers(0, 64, size=(1, 10)).astype(np.int32)
+
+    loop_q = T5.params_from_gguf(path, cfg, dtype=jnp.float32,
+                                 keep_quantized=True)
+    stack_q = T5.params_from_gguf(path, cfg, dtype=jnp.float32,
+                                  keep_quantized=True, stacked=True)
+    a = np.asarray(T5.forward(loop_q, cfg, jnp.asarray(ids)), np.float32)
+    b = np.asarray(T5.forward(stack_q, cfg, jnp.asarray(ids)), np.float32)
+    np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-5)
