@@ -90,11 +90,22 @@ def _linear(p, x):
     if "w_q" in p:
         # weights stay int8 in HBM; dequant is fused into the matmul k-loop
         # (reference semantics: quantized_t5_encoder.rs:60-71 keeps QTensors
-        # quantized in VRAM and dequantizes per matmul)
+        # quantized in VRAM and dequantizes per matmul).  K-quant payloads
+        # (Q4_K/Q5_K/Q6_K) are carried LOSSLESSLY via the exact affine
+        # decomposition w = s[g]*q + b[g]: the s*q part rides the fused
+        # int8 kernel; the per-group bias becomes a rank-G correction
+        # ``groupsum(x) @ b`` (tiny: G = K/32 rows).
         from ...ops.pallas.int8_weight_matmul import w8_matmul
 
         b, s, k = x.shape
-        y = w8_matmul(x.reshape(b * s, k), p["w_q"], p["s"], out_dtype=x.dtype)
+        gs = k // p["s"].shape[0]  # group size from the scale shape (32 or 16)
+        x2 = x.reshape(b * s, k)
+        y = w8_matmul(x2, p["w_q"], p["s"], out_dtype=x.dtype, qblock=gs)
+        if "b" in p:
+            gsum = jnp.sum(
+                x2.astype(jnp.float32).reshape(b * s, k // gs, gs), axis=-1
+            )
+            y = y + (gsum @ p["b"]).astype(y.dtype)
         return y.reshape(b, s, -1)
     return x @ p["weight"]
 
@@ -213,18 +224,24 @@ def _finish_params(params, blocks_np, rel_bias_np, stacked: bool):
     import jax.tree_util as jtu
 
     if stacked:
-        params["blocks"] = jtu.tree_map(
-            lambda *xs: jnp.asarray(np.stack(xs)), *blocks_np
-        )
-        if rel_bias_np is not None:
-            params["rel_bias"] = jnp.asarray(rel_bias_np, jnp.float32)
-    else:
-        blocks = [jtu.tree_map(jnp.asarray, blk) for blk in blocks_np]
-        if rel_bias_np is not None:
-            blocks[0]["attn"]["relative_attention_bias"] = jnp.asarray(
-                rel_bias_np, jnp.float32
+        try:
+            params["blocks"] = jtu.tree_map(
+                lambda *xs: jnp.asarray(np.stack(xs)), *blocks_np
             )
-        params["blocks"] = blocks
+            if rel_bias_np is not None:
+                params["rel_bias"] = jnp.asarray(rel_bias_np, jnp.float32)
+            return params
+        except ValueError:
+            # layers have heterogeneous quant structures (e.g. a Q5_K_M file
+            # mixing Q5_K and Q6_K per layer role) — fall back to the
+            # per-layer list layout
+            pass
+    blocks = [jtu.tree_map(jnp.asarray, blk) for blk in blocks_np]
+    if rel_bias_np is not None:
+        blocks[0]["attn"]["relative_attention_bias"] = jnp.asarray(
+            rel_bias_np, jnp.float32
+        )
+    params["blocks"] = blocks
     return params
 
 
@@ -243,8 +260,9 @@ def params_from_gguf(
     ``keep_quantized=True``: linear weights stay int8 in HBM with blockwise
     scales and dequantize inside the fused Pallas matmul — the reference's
     memory semantics (quantized_t5_encoder.rs:60-71; saves ~8 GB,
-    reference README.md:95).  Q8_0 payloads are carried bit-exactly; K-quant
-    and float tensors are requantized to int8 groups of 32 at load.
+    reference README.md:95).  Q8_0, Q4_K, Q5_K and Q6_K payloads are all
+    carried LOSSLESSLY (K-quants via the exact s[g]*q + b[g] affine
+    decomposition); only float tensors are requantized to int8 groups-of-32.
     ``stacked=True``: blocks land as ONE stacked [L, ...] pytree driven by
     ``lax.scan`` in forward — 24x smaller HLO, much faster compile.  The
     stack is built host-side, so HBM only ever holds the final arrays.
@@ -262,22 +280,44 @@ def params_from_gguf(
         return np.asarray(arr).astype(dtype)
 
     def lin(name):
-        """Linear weight entry: dense [in, out] or quantized {w_q, s}."""
+        """Linear weight entry: dense [in, out] or quantized {w_q, s[, b]}.
+
+        Every GGUF block format is carried LOSSLESSLY:
+        - Q8_0: int8 payload + f16 scales, bit-exact (groups of 32),
+        - Q4_K/Q5_K: exact affine decomposition w = s[g]*q + b[g]
+          (groups of 32; the bias rides a rank-G group-sum correction),
+        - Q6_K: exact symmetric s[g]*q (groups of 16),
+        - float tensors: requantized to int8 groups-of-32 (only lossy case;
+          real T5 GGUF files quantize all linear weights).
+        """
         if not keep_quantized:
             return {"weight": t(name, True)}
         from ...ops.pallas.int8_weight_matmul import quantize_int8_blockwise
 
         info = f.tensors[name]
         out_dim, in_dim = info.shape
+
+        def to_kmajor(flat, group):
+            """[out*in] flat fields -> [in, out] / [in//group, out]."""
+            return np.ascontiguousarray(
+                flat.reshape(out_dim, in_dim // group).T
+            )
+
         if info.ggml_type == DQ.GGML_Q8_0:
             qs, d = DQ.extract_q8_0_fields(f.raw_tensor(name), info.n_elements)
-            w_q = np.ascontiguousarray(qs.reshape(out_dim, in_dim).T)
-            s = np.ascontiguousarray(
-                d.reshape(out_dim, in_dim // DQ.QK8_0).T
-            ).astype(np.float32)
-        else:
-            w = f.tensor(name).reshape(out_dim, in_dim)
-            w_q, s = quantize_int8_blockwise(np.ascontiguousarray(w.T))
+            return {"w_q": to_kmajor(qs, 1),
+                    "s": to_kmajor(d, DQ.QK8_0).astype(np.float32)}
+        if info.ggml_type in (DQ.GGML_Q4_K, DQ.GGML_Q5_K):
+            extract = (DQ.extract_q4_k_fields if info.ggml_type == DQ.GGML_Q4_K
+                       else DQ.extract_q5_k_fields)
+            q, s, bias = extract(f.raw_tensor(name), info.n_elements)
+            return {"w_q": to_kmajor(q, 1), "s": to_kmajor(s, 32),
+                    "b": to_kmajor(bias, 32)}
+        if info.ggml_type == DQ.GGML_Q6_K:
+            q, s = DQ.extract_q6_k_fields(f.raw_tensor(name), info.n_elements)
+            return {"w_q": to_kmajor(q, 1), "s": to_kmajor(s, 16)}
+        w = f.tensor(name).reshape(out_dim, in_dim)
+        w_q, s = quantize_int8_blockwise(np.ascontiguousarray(w.T))
         return {"w_q": w_q, "s": s}
 
     blocks = []

@@ -57,45 +57,47 @@ def _round_up(x, m):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret"),
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret",
+                     "qblock"),
 )
 def w8_matmul(
     x,  # [M, K] bf16/f32 activations
     w_q,  # [K, N] int8
-    s_w,  # [K // QBLOCK, N] f32 per-(32-group, column) scales
+    s_w,  # [K // qblock, N] f32 per-(group, column) scales
     bias=None,  # [N] (any float dtype)
     block_m: int = 256,
     block_n: int = 512,
     block_k: int = 1024,
     out_dtype=jnp.bfloat16,
     interpret: bool | None = None,
+    qblock: int = QBLOCK,  # K-group size: 32 (Q8_0/Q4_K/Q5_K) or 16 (Q6_K)
 ):
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
     m, k = x.shape
     n = w_q.shape[1]
-    assert k % QBLOCK == 0 and s_w.shape == (k // QBLOCK, n), (
-        f"scales {s_w.shape} must be [{k}//{QBLOCK}, {n}]"
+    assert k % qblock == 0 and s_w.shape == (k // qblock, n), (
+        f"scales {s_w.shape} must be [{k}//{qblock}, {n}]"
     )
     block_m = min(block_m, _round_up(m, 32))
     block_n = min(block_n, _round_up(n, 128))
     block_k = min(block_k, _round_up(k, 128))
-    block_k = _round_up(block_k, QBLOCK)
+    block_k = _round_up(block_k, qblock)
 
     mp, kp, np_ = _round_up(m, block_m), _round_up(k, block_k), _round_up(n, block_n)
     xp = jnp.pad(x.astype(jnp.bfloat16), ((0, mp - m), (0, kp - k)))
     wq = jnp.pad(w_q, ((0, kp - k), (0, np_ - n)))
-    sw = jnp.pad(s_w, ((0, (kp - k) // QBLOCK), (0, np_ - n)))
+    sw = jnp.pad(s_w, ((0, (kp - k) // qblock), (0, np_ - n)))
 
     grid = (mp // block_m, np_ // block_n, kp // block_k)
     out = pl.pallas_call(
-        functools.partial(_kernel, nk=grid[2], qblock=QBLOCK),
+        functools.partial(_kernel, nk=grid[2], qblock=qblock),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
             pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
             pl.BlockSpec(
-                (block_k // QBLOCK, block_n), lambda i, j, kk: (kk, j)
+                (block_k // qblock, block_n), lambda i, j, kk: (kk, j)
             ),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),

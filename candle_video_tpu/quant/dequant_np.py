@@ -69,6 +69,90 @@ def extract_q8_0_fields(raw: np.ndarray, n_elements: int):
     return qs, d
 
 
+def extract_q4_k_fields(raw: np.ndarray, n_elements: int):
+    """Split Q4_K blocks into the EXACT affine decomposition
+    ``w[k] = s[g]*q[k] + b[g]`` over groups of 32 along K:
+
+    returns (q int8 [n] in 0..15, s f32 [n//32], b f32 [n//32]).
+
+    Exactness: dequant computes ``d*sc*q - dmin*m`` with d,dmin f16 and
+    sc,m 6-bit ints — both products fit f32 exactly (11+6 and 11+6 mantissa
+    bits), so s=d*sc and b=-dmin*m reproduce it bit-for-bit.  This lets
+    Q4_K payloads ride the int8 weight-only matmul losslessly (the bias
+    term becomes a rank-G group-sum correction)."""
+    raw = np.frombuffer(raw, dtype=np.uint8) if not isinstance(raw, np.ndarray) else raw
+    nb = n_elements // QK_K
+    bs = BLOCK_SIZES[GGML_Q4_K][1]
+    blocks = raw[: nb * bs].reshape(nb, bs)
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))[:, 0]
+    dmin = _f16(blocks[:, 2:4].copy().view(np.uint16))[:, 0]
+    sc, mn = _unpack_scale_min_k4(blocks[:, 4:16])
+    qs = blocks[:, 16:]
+
+    q = np.empty((nb, QK_K), np.int8)
+    for pair in range(4):
+        qb = qs[:, pair * 32 : (pair + 1) * 32]
+        q[:, pair * 64 : pair * 64 + 32] = (qb & 0xF).astype(np.int8)
+        q[:, pair * 64 + 32 : pair * 64 + 64] = (qb >> 4).astype(np.int8)
+    s = (d[:, None] * sc).astype(np.float32)  # [nb, 8]
+    b = (-(dmin[:, None] * mn)).astype(np.float32)
+    return q.reshape(-1), s.reshape(-1), b.reshape(-1)
+
+
+def extract_q5_k_fields(raw: np.ndarray, n_elements: int):
+    """Q5_K analogue of extract_q4_k_fields: q in 0..31 (5th bit from qh)."""
+    raw = np.frombuffer(raw, dtype=np.uint8) if not isinstance(raw, np.ndarray) else raw
+    nb = n_elements // QK_K
+    bs = BLOCK_SIZES[GGML_Q5_K][1]
+    blocks = raw[: nb * bs].reshape(nb, bs)
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))[:, 0]
+    dmin = _f16(blocks[:, 2:4].copy().view(np.uint16))[:, 0]
+    sc, mn = _unpack_scale_min_k4(blocks[:, 4:16])
+    qh = blocks[:, 16:48]
+    qs = blocks[:, 48:]
+
+    q = np.empty((nb, QK_K), np.int8)
+    u1, u2 = 1, 2
+    for pair in range(4):
+        qb = qs[:, pair * 32 : (pair + 1) * 32]
+        lo = (qb & 0xF) + ((qh & u1) != 0) * 16
+        hi = (qb >> 4) + ((qh & u2) != 0) * 16
+        q[:, pair * 64 : pair * 64 + 32] = lo.astype(np.int8)
+        q[:, pair * 64 + 32 : pair * 64 + 64] = hi.astype(np.int8)
+        u1 <<= 2
+        u2 <<= 2
+    s = (d[:, None] * sc).astype(np.float32)
+    b = (-(dmin[:, None] * mn)).astype(np.float32)
+    return q.reshape(-1), s.reshape(-1), b.reshape(-1)
+
+
+def extract_q6_k_fields(raw: np.ndarray, n_elements: int):
+    """Q6_K: symmetric ``w[k] = s[g]*q[k]`` over groups of 16 along K.
+
+    returns (q int8 [n] in -32..31, s f32 [n//16]); s = d*scale[g] is an
+    exact f32 product (f16 x int8)."""
+    raw = np.frombuffer(raw, dtype=np.uint8) if not isinstance(raw, np.ndarray) else raw
+    nb = n_elements // QK_K
+    bs = BLOCK_SIZES[GGML_Q6_K][1]
+    blocks = raw[: nb * bs].reshape(nb, bs)
+    ql = blocks[:, 0:128]
+    qh = blocks[:, 128:192]
+    scales = blocks[:, 192:208].view(np.int8)
+    d = _f16(blocks[:, 208:210].copy().view(np.uint16))[:, 0]
+
+    q = np.empty((nb, QK_K), np.int8)
+    for half in range(2):
+        base = half * 128
+        l_ql = ql[:, half * 64 : half * 64 + 64]
+        l_qh = qh[:, half * 32 : half * 32 + 32]
+        q[:, base : base + 32] = ((l_ql[:, :32] & 0xF) | ((l_qh & 0x3) << 4)).astype(np.int8) - 32
+        q[:, base + 32 : base + 64] = ((l_ql[:, 32:] & 0xF) | (((l_qh >> 2) & 0x3) << 4)).astype(np.int8) - 32
+        q[:, base + 64 : base + 96] = ((l_ql[:, :32] >> 4) | (((l_qh >> 4) & 0x3) << 4)).astype(np.int8) - 32
+        q[:, base + 96 : base + 128] = ((l_ql[:, 32:] >> 4) | (((l_qh >> 6) & 0x3) << 4)).astype(np.int8) - 32
+    s = (d[:, None] * scales.astype(np.float32)).astype(np.float32)  # [nb, 16]
+    return q.reshape(-1), s.reshape(-1)
+
+
 def _unpack_scale_min_k4(scales: np.ndarray):
     """scales [nb, 12] uint8 -> (sc, m) each [nb, 8] (ggml get_scale_min_k4)."""
     sc = np.empty((scales.shape[0], 8), np.float32)
