@@ -177,24 +177,13 @@ def main():
     )
     mask = jnp.ones((1, 128), jnp.float32)
 
-    # TPU-friendly tiling: temporal-only, 4 large tiles (3 distinct shapes
-    # -> 3 decoder compiles, cached).  The diffusers defaults would produce
-    # 13 temporal x 2 spatial tiles = ~26 dispatches per decode.
-    e2e_tiling = V.TilingConfig(
-        tile_sample_min_height=512,
-        tile_sample_min_width=768,
-        tile_sample_min_num_frames=48,
-        tile_sample_stride_height=384,
-        tile_sample_stride_width=640,
-        tile_sample_stride_num_frames=32,
-    )
-
     def e2e():
         # T5-XXL int8 stays RESIDENT through the whole generation (reference
-        # semantics: the GGUF encoder lives in device memory).  With 5.1 GiB
-        # of T5 + 3.9 GiB DiT on a 16 GiB chip the decode must tile — the
-        # same memory trade the reference makes on its 12 GB card (untiled
-        # decode alone is benchmarked above, without the resident encoder).
+        # semantics: the GGUF encoder lives in device memory).  The decode
+        # runs UNTILED with an exact halo-chunked tail (tail_t_chunks=2):
+        # measured decode temp drops 7.1 -> 4.3 GiB, so 5.1 GiB T5 +
+        # 3.9 GiB DiT + the full-frame decode fit the 16 GiB chip together
+        # (round-2 had to fall back to tiled decode here, ~1.5 s slower).
         emb = t5_fwd(t5_params, ids, pos_bias)
         return P.generate(
             pipe,
@@ -205,8 +194,7 @@ def main():
             num_frames=97,
             output_type="tensor",
             use_pcg_rng=False,
-            use_vae_tiling=True,
-            vae_tiling=e2e_tiling,
+            vae_tail_t_chunks=2,
         )
 
     e2e_s, video = _timed_best(e2e, fetch, n=2)

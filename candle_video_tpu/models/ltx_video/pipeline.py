@@ -417,6 +417,7 @@ def generate(
     vae_tiling: Optional[V.TilingConfig] = None,
     use_vae_tiling: bool = False,
     use_vae_slicing: bool = False,
+    vae_tail_t_chunks: int = 1,  # exact halo-chunked decoder tail (memory)
     decode_fn=None,
     step_callback=None,
     pp_mesh=None,  # jax.sharding.Mesh with a 'pp' axis: pipeline-parallel mode
@@ -696,5 +697,6 @@ def generate(
         use_framewise_decoding=use_vae_tiling,
         use_slicing=use_vae_slicing,
         decode_fn=decode_fn,
+        tail_t_chunks=vae_tail_t_chunks,
     )
     return postprocess_video(video)

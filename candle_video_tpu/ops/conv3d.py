@@ -114,12 +114,29 @@ def causal_conv3d(
     st, sh, sw = stride
     dt, dh, dw = dilation
 
-    impl = os.environ.get("CVT_CONV3D_IMPL", impl)
+    if impl == "auto":
+        # Env override applies only to "auto" so explicit caller choices win.
+        impl = os.environ.get("CVT_CONV3D_IMPL", "auto")
     if impl == "auto":
         impl = "xla"
 
     x = x.astype(weight.dtype)
     x = replicate_pad_time(x, kt, dt, causal)
+
+    # Output-buffer dtype: the TPU MXU always accumulates partial products
+    # in f32 internally; for BF16 weights, asking XLA for a BF16 output
+    # (instead of materializing an f32 buffer and casting after) halves the
+    # largest decoder temp buffers (~1.2 GB f32 conv outputs at the last
+    # up-block).  Measured max rel err vs the f32-output path: 1.9e-3 at
+    # C=256 decoder shapes = exactly one-bf16-rounding (pure-rounding
+    # control 1.9e-3) — accumulation is unchanged.  f32 weights (CPU parity
+    # tests vs torch) keep the f32 output buffer.
+    out_dtype = weight.dtype
+    acc_dtype = (
+        jnp.bfloat16
+        if out_dtype == jnp.bfloat16 and not os.environ.get("CVT_CONV3D_F32_OUT")
+        else jnp.float32
+    )
 
     if impl == "taps" and groups == 1:
         pads = [(0, 0), (0, 0), (0, 0),
@@ -134,8 +151,8 @@ def causal_conv3d(
             rhs_dilation=(dt, dh, dw),
             dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
             feature_group_count=groups,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
         )
     if bias is not None:
-        out = out + bias.astype(jnp.float32)[None, :, None, None, None]
-    return out.astype(weight.dtype)
+        out = out + bias.astype(acc_dtype)[None, :, None, None, None]
+    return out.astype(out_dtype)

@@ -480,3 +480,53 @@ def test_vae_forward_roundtrip_facade(tiny_vae, rng):
         V.forward(params, cfg, jnp.asarray(x), temb, sample_posterior=True,
                   use_tiling=False, use_framewise_decoding=False,
                   use_framewise_encoding=False)
+
+
+def test_decoder_tail_chunking_is_exact(rng):
+    """tail_t_chunks runs the last up-block + output head in temporal
+    chunks with exact conv halos — outputs must match the unchunked
+    decode (same ops per output position; halo covers the receptive
+    field of the 11 temporal convs in the tail)."""
+    import jax
+
+    from candle_video_tpu.models.ltx_video import vae as V
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
+
+    for causal in (False, True):
+        cfg = V.LtxVaeConfig(
+            in_channels=3, out_channels=3, latent_channels=4,
+            block_out_channels=(8, 16, 32), decoder_block_out_channels=(8, 16),
+            spatiotemporal_scaling=(True, True),
+            decoder_spatiotemporal_scaling=(True, True),
+            layers_per_block=(1, 1, 2), decoder_layers_per_block=(2, 2, 2),
+            patch_size=2, patch_size_t=1,
+            downsample_types=("spatiotemporal", "spatiotemporal"),
+            decoder_upsample_residual=(True, True),
+            decoder_upsample_factor=(2, 2),
+            timestep_conditioning=True, decoder_causal=causal,
+            spatial_compression_ratio=8, temporal_compression_ratio=4,
+        )
+        params = init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        z = jnp.asarray(rng.normal(size=(1, 4, 7, 4, 4)), jnp.float32)
+        temb = jnp.asarray([0.05], jnp.float32)
+        ref = np.asarray(
+            V.decoder_forward(params["decoder"], cfg, z, temb)
+        )
+        for n in (2, 3):
+            got = np.asarray(
+                V.decoder_forward(params["decoder"], cfg, z, temb,
+                                  tail_t_chunks=n)
+            )
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(
+                got, ref, atol=2e-6, rtol=2e-6,
+                err_msg=f"causal={causal} chunks={n}",
+            )
+
+    # facade routing: decode(tail_t_chunks=...) matches plain decode
+    out_ref = V.decode(params, cfg, z, temb, use_tiling=False,
+                       use_framewise_decoding=False)
+    out_chk = V.decode(params, cfg, z, temb, use_tiling=False,
+                       use_framewise_decoding=False, tail_t_chunks=2)
+    np.testing.assert_allclose(np.asarray(out_chk), np.asarray(out_ref),
+                               atol=2e-6, rtol=2e-6)
