@@ -55,6 +55,9 @@ def _timed_best(fn, sync, n=3):
     sync(out)
     best = float("inf")
     for _ in range(n):
+        # release the previous output before re-running: holding a ~0.5 GiB
+        # video across iterations pushed the T5-resident e2e peak into OOM
+        out = None
         t0 = time.time()
         out = fn()
         sync(out)

@@ -1,0 +1,124 @@
+"""A/B the packed-attention softmax trims at LTX 2B shapes (S=4992, 32
+heads, D=64, split-rope layout — the exact production call from
+denoise_loop).
+
+Variants:
+  exact      — current production kernel (row max + f32 exp2)
+  nomax      — static score bound replaces the row max (exact while the
+               realized max stays within f32-exp2 headroom of the bound)
+  bf16p      — exp2 evaluated at bf16 (one extra rounding on the scores)
+  nomax+bf16 — both
+  dots-only  — the two matmuls alone (structural floor reference)
+
+Prints ms/call and max rel error vs exact.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/candle_video_tpu_xla"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from candle_video_tpu.ops.pallas.flash_attention_packed import (
+    flash_attention_packed,
+)
+from candle_video_tpu.ops.rope import (
+    rope_cos_sin,
+    rope_split_permutation,
+    rope_split_tables,
+)
+
+
+def _sync(x):
+    np.asarray(x[0, 0, :1])
+
+
+def timed(fn, *args, n=10):
+    out = fn(*args)
+    _sync(out)
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        out = fn(*args)
+        _sync(out)
+        best = min(best, time.time() - t0)
+    return best, out
+
+
+def calib():
+    a = jnp.ones((2048, 2048), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a @ a @ a)
+    t, _ = timed(f, a, n=3)
+    return t * 1e3
+
+
+def main():
+    B, S, H, D = 1, 4992, 32, 64
+    scale = 1.0 / D**0.5
+    rng = np.random.default_rng(0)
+
+    # RMS-normalized q/k rows (production: QK-RMSNorm before attention) so
+    # the static bound scale*D = sqrt(D) = 8 applies with gamma = 1
+    def rmsrows(x):
+        x4 = x.reshape(B, S, H, D)
+        x4 = x4 / np.sqrt((x4**2).mean(-1, keepdims=True) + 1e-6)
+        return x4.reshape(B, S, H * D)
+
+    q = jnp.asarray(rmsrows(rng.normal(size=(B, S, H * D))), jnp.bfloat16)
+    k = jnp.asarray(rmsrows(rng.normal(size=(B, S, H * D))), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, S, H * D)) * 0.2, jnp.bfloat16)
+
+    grid = jnp.asarray(rng.uniform(size=(1, S, 3)), jnp.float32)
+    cos, sin = rope_cos_sin(grid, H * D, 10000.0)
+    cs = rope_split_tables(cos, sin)
+    perm = rope_split_permutation(H * D, D)
+    qs = q[:, :, perm]
+    ks = k[:, :, perm]
+
+    base = functools.partial(
+        flash_attention_packed, num_heads=H, scale=scale, rope_split=cs
+    )
+
+    t_exact, ref = timed(base, qs, ks, v)
+    reff = ref.astype(jnp.float32)
+    print(f"exact:       {t_exact*1e3:7.3f} ms  calib={calib():.1f}ms",
+          flush=True)
+
+    bound = scale * D  # = 8 with unit gamma
+    for name, kw in [
+        ("nomax", dict(softmax_bound=bound)),
+        ("bf16p", dict(scores_bf16=True)),
+        ("nomax+bf16", dict(softmax_bound=bound, scores_bf16=True)),
+    ]:
+        t, out = timed(functools.partial(base, **kw), qs, ks, v)
+        rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - reff))
+                    / jnp.max(jnp.abs(reff)))
+        print(f"{name:12s} {t*1e3:7.3f} ms  maxrel={rel:.2e}  "
+              f"speedup={t_exact/t:.3f}x  calib={calib():.1f}ms", flush=True)
+
+    # dots-only structural floor: same grid/layout, no softmax
+    @jax.jit
+    def dots_only(q, k, v):
+        qh = q.reshape(B, S, H, D)
+        kh = k.reshape(B, S, H, D)
+        vh = v.reshape(B, S, H, D)
+        s = jnp.einsum("bshd,bthd->bhst", qh, kh,
+                       preferred_element_type=jnp.float32)
+        o = jnp.einsum("bhst,bthd->bshd", s.astype(jnp.bfloat16), vh,
+                       preferred_element_type=jnp.float32)
+        return o.reshape(B, S, H * D).astype(jnp.bfloat16)
+
+    t_f, _ = timed(dots_only, q, k, v)
+    print(f"dots-only:   {t_f*1e3:7.3f} ms  (transposing XLA floor)  "
+          f"calib={calib():.1f}ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

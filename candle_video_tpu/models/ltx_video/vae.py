@@ -15,6 +15,7 @@ tile decodes are jitted once per tile shape.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -270,6 +271,120 @@ def encoder_forward(params, cfg: LtxVaeConfig, x):
     return jnp.concatenate([h, rep], axis=1)
 
 
+def _temb_scaled(params, temb):
+    if temb is None:
+        return None
+    t = temb.reshape(-1).astype(jnp.float32)
+    if params.get("timestep_scale_multiplier") is not None:
+        t = t * params["timestep_scale_multiplier"].astype(jnp.float32)
+    return t
+
+
+def _block_temb(block_params, temb_scaled, width, dtype):
+    if temb_scaled is None or block_params.get("time_embedder") is None:
+        return None
+    e = _time_embedder(block_params["time_embedder"], temb_scaled, dtype)
+    return e.reshape(e.shape[0], width * 4, 1, 1, 1)
+
+
+def _decoder_geometry(cfg: LtxVaeConfig):
+    boc = list(cfg.decoder_block_out_channels)[::-1]
+    sts = list(cfg.decoder_spatiotemporal_scaling)[::-1]
+    upr = list(cfg.decoder_upsample_residual)[::-1]
+    upf = list(cfg.decoder_upsample_factor)[::-1]
+    return boc, sts, upr, upf
+
+
+def decoder_head_forward(params, cfg: LtxVaeConfig, z, temb=None,
+                         noise_key=None):
+    """conv_in → mid → up blocks, STOPPING before the last up-block's
+    resnets (vae.rs:1488-1619 minus the final resnet stack).  The split
+    point is right after the last upsampler so the tail is a pure
+    temporal-conv pipeline that can run in exact halo chunks."""
+    causal = cfg.decoder_causal
+    dtype = params["conv_in"]["weight"].dtype
+    z = z.astype(dtype)
+
+    h = _conv(params["conv_in"], z, causal=causal)
+    temb_scaled = _temb_scaled(params, temb)
+
+    mid = params["mid_block"]
+    mt = _block_temb(mid, temb_scaled, h.shape[1], dtype)
+    for rp in mid["resnets"]:
+        h = _resnet_block(rp, cfg, h, mt, causal=causal, noise_key=noise_key)
+
+    boc, sts, upr, upf = _decoder_geometry(cfg)
+    n_up = len(params["up_blocks"])
+    for i, bp in enumerate(params["up_blocks"]):
+        out_ch = boc[i] // upf[i]
+        ut = _block_temb(bp, temb_scaled, out_ch, dtype)
+        stride = (2, 2, 2) if sts[i] else (1, 2, 2)
+        in_ch = out_ch * upf[i]
+        channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
+        h = _upsampler(
+            bp["upsamplers"][0], h, stride, upr[i], channel_repeats, causal=causal
+        )
+        if i == n_up - 1:
+            break  # the last block's resnets belong to the tail
+        for rp in bp["resnets"]:
+            h = _resnet_block(rp, cfg, h, ut, causal=causal, noise_key=noise_key)
+    return h
+
+
+def decoder_tail_forward(params, cfg: LtxVaeConfig, h, temb=None,
+                         noise_key=None):
+    """Last up-block resnets + output norm/modulation + conv_out +
+    unpatchify (vae.rs:1619-1727).  Pure in T except kt<=3 convs, so a
+    halo of one frame per conv makes chunked evaluation exact."""
+    causal = cfg.decoder_causal
+    dtype = params["conv_in"]["weight"].dtype
+    temb_scaled = _temb_scaled(params, temb)
+
+    boc, _, _, upf = _decoder_geometry(cfg)
+    i_last = len(params["up_blocks"]) - 1
+    bp = params["up_blocks"][i_last]
+    ut = _block_temb(bp, temb_scaled, boc[i_last] // upf[i_last], dtype)
+    for rp in bp["resnets"]:
+        h = _resnet_block(rp, cfg, h, ut, causal=causal, noise_key=noise_key)
+
+    h = _rms_norm_cf(h, 1e-8)
+    if (
+        temb_scaled is not None
+        and params.get("time_embedder") is not None
+        and params.get("scale_shift_table") is not None
+    ):
+        e = _time_embedder(params["time_embedder"], temb_scaled, dtype)  # [B, 2C]
+        c = params["scale_shift_table"].shape[1]
+        e = e.reshape(-1, 2, c) + params["scale_shift_table"][None].astype(dtype)
+        shift = e[:, 0][:, :, None, None, None]
+        scale = e[:, 1][:, :, None, None, None]
+        h = h * (1.0 + scale) + shift
+
+    h = silu(h)
+    h = _conv(params["conv_out"], h, causal=causal)
+    return _unpatchify(h, cfg.patch_size, cfg.patch_size_t)
+
+
+def tail_chunk_bounds(params, cfg: LtxVaeConfig, t_total: int,
+                      tail_t_chunks: int):
+    """Exact halo accounting for the chunked tail: each tail resnet has 2
+    temporal kt=3 convs (conv_shortcut is 1x1x1), plus conv_out — the
+    receptive field grows 1 frame per conv on each side (2x on the left
+    for causal tails).  Returns (start, end, lo, hi) latent-frame spans."""
+    n_convs = 2 * len(params["up_blocks"][-1]["resnets"]) + 1
+    halo = n_convs if not cfg.decoder_causal else 2 * n_convs
+    per = max(-(-t_total // tail_t_chunks), 1)
+    spans = []
+    start = 0
+    while start < t_total:
+        end = min(start + per, t_total)
+        lo = max(0, start - halo)
+        hi = min(t_total, end + halo)
+        spans.append((start, end, lo, hi))
+        start = end
+    return spans
+
+
 def decoder_forward(params, cfg: LtxVaeConfig, z, temb=None, noise_key=None,
                     tail_t_chunks: int = 1):
     """LtxVideoDecoder3d (vae.rs:1488-1727). z [B,latent,F,H,W] -> video
@@ -284,101 +399,23 @@ def decoder_forward(params, cfg: LtxVaeConfig, z, temb=None, noise_key=None,
     n=2 the whole decode fits alongside a resident 5 GiB text encoder.
     Noise injection stays consistent: the per-conv noise is [H, W] spatial
     (shared across T), and each chunk replays the same key sequence.
+
+    NOTE: when this whole function runs under ONE jit, XLA may schedule
+    the chunks' buffers to overlap and the peak-memory win evaporates —
+    the facade (``decode``) therefore jits head and tail separately.
     """
-    causal = cfg.decoder_causal
-    dtype = params["conv_in"]["weight"].dtype
-    z = z.astype(dtype)
-
-    h = _conv(params["conv_in"], z, causal=causal)
-
-    temb_scaled = None
-    if temb is not None:
-        temb_scaled = temb.reshape(-1).astype(jnp.float32)
-        if params.get("timestep_scale_multiplier") is not None:
-            temb_scaled = temb_scaled * params["timestep_scale_multiplier"].astype(
-                jnp.float32
-            )
-
-    def block_temb(block_params, width):
-        if temb_scaled is None or block_params.get("time_embedder") is None:
-            return None
-        e = _time_embedder(block_params["time_embedder"], temb_scaled, dtype)
-        return e.reshape(e.shape[0], width * 4, 1, 1, 1)
-
-    mid = params["mid_block"]
-    mt = block_temb(mid, h.shape[1])
-    for rp in mid["resnets"]:
-        h = _resnet_block(rp, cfg, h, mt, causal=causal, noise_key=noise_key)
-
-    boc = list(cfg.decoder_block_out_channels)[::-1]
-    sts = list(cfg.decoder_spatiotemporal_scaling)[::-1]
-    upr = list(cfg.decoder_upsample_residual)[::-1]
-    upf = list(cfg.decoder_upsample_factor)[::-1]
-
-    n_up = len(params["up_blocks"])
-    tail_resnets = None
-    tail_temb = None
-    for i, bp in enumerate(params["up_blocks"]):
-        out_ch = boc[i] // upf[i]
-        ut = block_temb(bp, out_ch)
-        stride = (2, 2, 2) if sts[i] else (1, 2, 2)
-        in_ch = out_ch * upf[i]
-        channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
-        h = _upsampler(
-            bp["upsamplers"][0], h, stride, upr[i], channel_repeats, causal=causal
-        )
-        if tail_t_chunks > 1 and i == n_up - 1:
-            tail_resnets, tail_temb = bp["resnets"], ut
-            break  # resnets of the last block run inside the chunk loop
-        for rp in bp["resnets"]:
-            h = _resnet_block(rp, cfg, h, ut, causal=causal, noise_key=noise_key)
-
-    def tail(h):
-        if tail_resnets is not None:
-            for rp in tail_resnets:
-                h = _resnet_block(rp, cfg, h, tail_temb, causal=causal,
-                                  noise_key=noise_key)
-        h = _rms_norm_cf(h, 1e-8)
-
-        if (
-            temb_scaled is not None
-            and params.get("time_embedder") is not None
-            and params.get("scale_shift_table") is not None
-        ):
-            e = _time_embedder(params["time_embedder"], temb_scaled, dtype)  # [B, 2C]
-            c = params["scale_shift_table"].shape[1]
-            e = e.reshape(-1, 2, c) + params["scale_shift_table"][None].astype(dtype)
-            shift = e[:, 0][:, :, None, None, None]
-            scale = e[:, 1][:, :, None, None, None]
-            h = h * (1.0 + scale) + shift
-
-        h = silu(h)
-        h = _conv(params["conv_out"], h, causal=causal)
-        return _unpatchify(h, cfg.patch_size, cfg.patch_size_t)
-
-    if tail_t_chunks <= 1 or tail_resnets is None:
-        return tail(h)
-
-    # Exact halo accounting: each tail resnet has 2 temporal kt=3 convs
-    # (conv_shortcut is 1x1x1), plus conv_out — receptive field grows 1
-    # frame per conv on each side.  causal tails would need left-only
-    # halos; LTX decoders are non-causal (decoder_causal=False).
-    n_convs = 2 * len(tail_resnets) + 1
-    halo = n_convs if not causal else 2 * n_convs
-    t_total = h.shape[2]
+    h = decoder_head_forward(params, cfg, z, temb, noise_key)
+    if tail_t_chunks <= 1:
+        return decoder_tail_forward(params, cfg, h, temb, noise_key)
     pt = cfg.patch_size_t
-    per = -(-t_total // tail_t_chunks)  # ceil
-    per = max(per, 1)
     outs = []
-    start = 0
-    while start < t_total:
-        end = min(start + per, t_total)
-        lo = max(0, start - halo)
-        hi = min(t_total, end + halo)
-        piece = tail(h[:, :, lo:hi])
+    for start, end, lo, hi in tail_chunk_bounds(
+        params, cfg, h.shape[2], tail_t_chunks
+    ):
+        piece = decoder_tail_forward(params, cfg, h[:, :, lo:hi], temb,
+                                     noise_key)
         # tail output has T * pt frames; crop the halo in output time
         outs.append(piece[:, :, (start - lo) * pt : (end - lo) * pt])
-        start = end
     return jnp.concatenate(outs, axis=2)
 
 
@@ -633,6 +670,44 @@ def temporal_tiled_encode(params, cfg: LtxVaeConfig, x, tiling: TilingConfig,
     return enc[:, :, :latent_num_frames]
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_decoder(cfg: LtxVaeConfig):
+    """Compile-once full decoder for the facade's default path (config is
+    static; params/z/temb are traced arguments)."""
+    return jax.jit(lambda p, zz, tt: decoder_forward(p, cfg, zz, tt))
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_decoder_chunked(cfg: LtxVaeConfig, tail_t_chunks: int):
+    """Halo-chunked decode with head and tail as SEPARATE jits.
+
+    One jit over the whole chunked decode lets XLA overlap the chunks'
+    buffers and the ~2x activation-peak reduction evaporates (observed:
+    RESOURCE_EXHAUSTED with a resident 5 GiB T5 where the per-chunk eager
+    path fit).  Separate programs bound the peak to max(head, one tail
+    chunk) while still avoiding per-op dispatch."""
+    head = jax.jit(lambda p, zz, tt: decoder_head_forward(p, cfg, zz, tt))
+    tail = jax.jit(lambda p, hh, tt: decoder_tail_forward(p, cfg, hh, tt))
+
+    def run(p, zz, tt):
+        h = head(p, zz, tt)
+        pt = cfg.patch_size_t
+        outs = []
+        for start, end, lo, hi in tail_chunk_bounds(
+            p, cfg, h.shape[2], tail_t_chunks
+        ):
+            piece = tail(p, h[:, :, lo:hi], tt)
+            outs.append(piece[:, :, (start - lo) * pt : (end - lo) * pt])
+        return jnp.concatenate(outs, axis=2)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_encoder(cfg: LtxVaeConfig):
+    return jax.jit(lambda p, xx: encoder_forward(p, cfg, xx))
+
+
 def decode(
     params,
     cfg: LtxVaeConfig,
@@ -656,10 +731,14 @@ def decode(
     the lever that lets a full 512x768x97f decode run UNTILED next to a
     resident 5 GiB text encoder."""
     tiling = tiling or TilingConfig()
-    if decode_fn is None and tail_t_chunks > 1:
-        decode_fn = lambda zz, tt: decoder_forward(  # noqa: E731
-            params["decoder"], cfg, zz, tt, tail_t_chunks=tail_t_chunks
-        )
+    if decode_fn is None:
+        # jit the default decoder: eagerly-dispatched decoder ops cost
+        # ~0.7 s of per-op tunnel dispatches (and lose fusion) at 97f scale
+        if tail_t_chunks > 1:
+            jitted = _jitted_decoder_chunked(cfg, tail_t_chunks)
+        else:
+            jitted = _jitted_decoder(cfg)
+        decode_fn = lambda zz, tt: jitted(params["decoder"], zz, tt)  # noqa: E731
     if use_slicing and z.shape[0] > 1:
         outs = []
         for i in range(z.shape[0]):
@@ -697,6 +776,9 @@ def encode(
     encode_fn=None,
 ):
     tiling = tiling or TilingConfig()
+    if encode_fn is None:
+        jitted = _jitted_encoder(cfg)
+        encode_fn = lambda xx: jitted(params["encoder"], xx)  # noqa: E731
     _, _, t, h, w = x.shape
     if use_framewise_encoding and t > tiling.tile_sample_min_num_frames:
         return temporal_tiled_encode(params, cfg, x, tiling, encode_fn)
@@ -704,8 +786,7 @@ def encode(
         h > tiling.tile_sample_min_height or w > tiling.tile_sample_min_width
     ):
         return tiled_encode(params, cfg, x, tiling, encode_fn)
-    fn = encode_fn or (lambda xx: encoder_forward(params["encoder"], cfg, xx))
-    return fn(x)
+    return encode_fn(x)
 
 
 def forward(

@@ -90,6 +90,8 @@ def _kernel(
     scale,
     kv_len,
     head_dim,
+    softmax_bound=None,
+    scores_bf16=False,
 ):
     split = qcs_ref is not None
     q = q_ref[0]  # [bq, L]   (L = heads_per_block * D lanes)
@@ -146,8 +148,23 @@ def _kernel(
         if s.shape[1] != kv_len:  # mask padded key columns
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2((s - m) * jnp.float32(_LOG2E))
+        if softmax_bound is not None:
+            # Static upper bound on the post-scale scores replaces the row
+            # max: softmax is shift-invariant, so as long as the realized
+            # row max stays within ~40 of the bound (f32 exp2 headroom) the
+            # result is EXACT — and one full VPU reduction pass over the
+            # scores tile disappears.  QK-RMSNorm'd q/k give
+            # |s| <= scale*D*max|g_q|*max|g_k| (callers compute this).
+            m = jnp.float32(softmax_bound)
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+        if scores_bf16:
+            # exp2 at bf16: halves the transcendental-input VMEM traffic;
+            # adds one bf16 rounding to the scores (quality-gated A/B)
+            p = jnp.exp2(((s - m) * jnp.float32(_LOG2E)).astype(jnp.bfloat16))
+            p = p.astype(jnp.float32)
+        else:
+            p = jnp.exp2((s - m) * jnp.float32(_LOG2E))
         l = jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v.dtype),
@@ -176,7 +193,11 @@ def packed_viable(s_len: int, kv_len: int, num_heads: int, head_dim: int) -> boo
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "block_q", "interpret")
+    jax.jit,
+    static_argnames=(
+        "num_heads", "scale", "block_q", "interpret", "softmax_bound",
+        "scores_bf16",
+    ),
 )
 def flash_attention_packed(
     q,  # [B, S, H*D]
@@ -191,6 +212,8 @@ def flash_attention_packed(
     #                   both in the split lane layout (rope.py::rope_split_*)
     block_q: int | None = None,
     interpret: bool | None = None,
+    softmax_bound: float | None = None,  # static score bound: skips the max pass
+    scores_bf16: bool = False,  # exp2 at bf16 (quality-gated A/B)
 ):
     """Returns [B, S, H*D]; exact one-pass softmax per head."""
     if interpret is None:
@@ -280,7 +303,8 @@ def flash_attention_packed(
         args.append(pad(cs.astype(jnp.bfloat16), 128))
 
     kernel = functools.partial(
-        _kernel, scale=scale, kv_len=kv_len, head_dim=head_dim
+        _kernel, scale=scale, kv_len=kv_len, head_dim=head_dim,
+        softmax_bound=softmax_bound, scores_bf16=scores_bf16,
     )
 
     def body(q_r, k_r, v_r, *rest):
