@@ -17,8 +17,10 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/candle_video_tpu_xla"))
 
@@ -37,7 +39,8 @@ from candle_video_tpu.ops.rope import (
 
 
 def _sync(x):
-    np.asarray(x[0, 0, :1])
+    idx = tuple(0 for _ in range(x.ndim - 1)) + (slice(0, 1),)
+    np.asarray(x[idx])
 
 
 def timed(fn, *args, n=10):
@@ -78,7 +81,7 @@ def main():
     grid = jnp.asarray(rng.uniform(size=(1, S, 3)), jnp.float32)
     cos, sin = rope_cos_sin(grid, H * D, 10000.0)
     cs = rope_split_tables(cos, sin)
-    perm = rope_split_permutation(H * D, D)
+    perm = rope_split_permutation(H * D)
     qs = q[:, :, perm]
     ks = k[:, :, perm]
 

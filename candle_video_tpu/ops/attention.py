@@ -15,9 +15,31 @@ BF16 and falls back to a manual f32-softmax path with an additive -10000 mask
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+
+def _packed_softmax_opts():
+    """Softmax options for the packed kernel.
+
+    Default ``softmax_bound="auto"``: the kernel replaces its row-max pass
+    with an in-kernel per-row Cauchy-Schwarz score bound — exact by softmax
+    shift invariance (see the kernel's `m` computation), measured
+    ~-15 ms/step at LTX 2B shapes.  Env overrides:
+    CVT_ATTN_SOFTMAX_BOUND=rowmax — restore the exact row-max pass;
+    CVT_ATTN_SOFTMAX_BOUND=<float> — static bound (A/B);
+    CVT_ATTN_SCORES_BF16=1 — exp2 at bf16 (A/B, quality-gated)."""
+    opts = {"scores_bf16": bool(os.environ.get("CVT_ATTN_SCORES_BF16"))}
+    env = os.environ.get("CVT_ATTN_SOFTMAX_BOUND")
+    if env in ("rowmax", "off"):
+        opts["softmax_bound"] = None
+    elif env:
+        opts["softmax_bound"] = float(env)
+    else:
+        opts["softmax_bound"] = "auto"
+    return opts
 
 
 @functools.cache
@@ -114,6 +136,7 @@ def attention(q, k, v, scale: float, bias=None, impl: str = "auto", rope=None):
             scale=scale,
             bias=bias,
             rope_split=rope[1],
+            **_packed_softmax_opts(),
         )
         return out.reshape(b, s, h, d)
     if impl == "auto":
@@ -145,6 +168,7 @@ def attention(q, k, v, scale: float, bias=None, impl: str = "auto", rope=None):
                 scale=scale,
                 bias=bias,
                 rope_q=rope,
+                **_packed_softmax_opts(),
             )
             return out.reshape(b, s, h, d)
         if rope is not None:

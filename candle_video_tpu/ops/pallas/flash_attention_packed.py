@@ -86,6 +86,7 @@ def _kernel(
     kcs_ref,
     o_ref,
     krot_ref,
+    kn_ref,
     *,
     scale,
     kv_len,
@@ -130,6 +131,7 @@ def _kernel(
         # sliced dot (the systolic array is 128 deep either way).
         lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 1)
         head_of_lane = (lane // (head_dim // 2)) % n_heads
+
     outs = []
     for h in range(n_heads):
         lo = h * head_dim
@@ -148,13 +150,23 @@ def _kernel(
         if s.shape[1] != kv_len:  # mask padded key columns
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, _NEG_INF)
-        if softmax_bound is not None:
-            # Static upper bound on the post-scale scores replaces the row
-            # max: softmax is shift-invariant, so as long as the realized
-            # row max stays within ~40 of the bound (f32 exp2 headroom) the
-            # result is EXACT — and one full VPU reduction pass over the
-            # scores tile disappears.  QK-RMSNorm'd q/k give
-            # |s| <= scale*D*max|g_q|*max|g_k| (callers compute this).
+        if kn_ref is not None:
+            # Fast softmax: a rigorous Cauchy-Schwarz upper bound replaces
+            # the row max — softmax is shift-invariant, so any shift >= the
+            # realized row max (and within the exp underflow headroom above
+            # it, ~86 nats for the bf16 p below) gives the EXACT result,
+            # and the full [bq, Kp] max reduction pass disappears.  The
+            # per-group bound arrives precomputed in SMEM
+            # (group_score_bounds — one fused square+reduce outside).
+            bi = pl.program_id(0) // kn_ref.shape[1]
+            grp = pl.program_id(0) % kn_ref.shape[1]
+            m = kn_ref[bi, grp]
+            if bias_ref is not None:
+                m = m + jnp.max(bias_ref[0, 0].astype(jnp.float32))
+        elif softmax_bound is not None:
+            # Static variant (A/B hook): same shift-invariance argument;
+            # the caller asserts the realized row max stays within ~40 of
+            # the bound (f32/bf16 exp headroom).
             m = jnp.float32(softmax_bound)
         else:
             m = jnp.max(s, axis=-1, keepdims=True)
@@ -178,6 +190,51 @@ def _kernel(
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def score_head_map(inner: int, head_dim: int, split: bool) -> "np.ndarray":
+    """Kernel head index for every lane of the packed [.., H*D] layout.
+
+    Natural layout: lane // D.  Split rope layout
+    (rope.py::rope_split_permutation): within each 128-lane group, a head's
+    features occupy every (D//2)-lane quadrant with stride ``hp`` — the same
+    mapping the kernel's masking uses (``(lane // (D//2)) % hp``).
+    """
+    import numpy as np
+
+    lane = np.arange(inner)
+    if not split:
+        return lane // head_dim
+    hp = 128 // head_dim
+    return (lane // 128) * hp + (lane % 128) // (head_dim // 2) % hp
+
+
+# m may exceed the realized row max by the f32->bf16 exp underflow headroom
+# (~86 nats) without changing the result; clip far below that.
+_BOUND_CLIP = 40.0
+
+
+def _group_max_norms(x3, n_groups: int):
+    """``max_j ||x_j,group||_2`` per (batch, 128-lane group): one fused
+    square+reduce, no lane->head mapping needed."""
+    b, s, inner = x3.shape
+    xf = x3.astype(jnp.float32).reshape(b, s, n_groups, inner // n_groups)
+    return jnp.sqrt(jnp.max(jnp.sum(xf * xf, axis=-1), axis=1))  # [B, G]
+
+
+def group_score_bounds(q3, k3, scale, n_groups: int):
+    """Rigorous per-(batch, 128-lane group) upper bound on the post-scale
+    scores: ``scale * max_i||q_i,g|| * max_j||k_j,g||`` (Cauchy-Schwarz).
+    A head's lanes are a subset of its group's, so the group norms
+    upper-bound every per-head row norm (~2x looser for 2 heads/group —
+    a few nats against the ~86-nat exp headroom).  The in-kernel RoPE
+    rotations are orthogonal within each head's lanes, so pre-rotation
+    norms remain valid.  Clipped to _BOUND_CLIP (clipping can only lower
+    m; exp overflow then needs a realized score > clip + 88 — unreachable
+    for RMS-normalized q/k)."""
+    bound = jnp.float32(scale) * _group_max_norms(q3, n_groups) * \
+        _group_max_norms(k3, n_groups)
+    return jnp.minimum(bound, jnp.float32(_BOUND_CLIP))
 
 
 def packed_viable(s_len: int, kv_len: int, num_heads: int, head_dim: int) -> bool:
@@ -212,7 +269,8 @@ def flash_attention_packed(
     #                   both in the split lane layout (rope.py::rope_split_*)
     block_q: int | None = None,
     interpret: bool | None = None,
-    softmax_bound: float | None = None,  # static score bound: skips the max pass
+    softmax_bound: float | str | None = None,  # "auto": in-kernel CS bound
+    #   replaces the row-max pass; float: static bound (A/B); None: row max
     scores_bf16: bool = False,  # exp2 at bf16 (quality-gated A/B)
 ):
     """Returns [B, S, H*D]; exact one-pass softmax per head."""
@@ -301,15 +359,19 @@ def flash_attention_packed(
             pl.BlockSpec((1, kp, lanes), lambda bg, qi, _g=n_groups: (0, 0, bg % _g))
         )
         args.append(pad(cs.astype(jnp.bfloat16), 128))
-
+    auto_bound = softmax_bound == "auto"
+    if auto_bound:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(group_score_bounds(q, k, scale, n_groups))
     kernel = functools.partial(
         _kernel, scale=scale, kv_len=kv_len, head_dim=head_dim,
-        softmax_bound=softmax_bound, scores_bf16=scores_bf16,
+        softmax_bound=None if auto_bound else softmax_bound,
+        scores_bf16=scores_bf16,
     )
 
     def body(q_r, k_r, v_r, *rest):
         i = 0
-        b_r = qc_r = qs_r = qcs_r = kcs_r = krot_r = None
+        b_r = qc_r = qs_r = qcs_r = kcs_r = krot_r = kn_r = None
         if has_bias:
             b_r = rest[i]
             i += 1
@@ -319,18 +381,24 @@ def flash_attention_packed(
         if has_split:
             qcs_r, kcs_r = rest[i : i + 2]
             i += 2
+        if auto_bound:
+            kn_r = rest[i]
+            i += 1
+        if has_split:
             krot_r = rest[i + 1]  # scratch ref follows the output ref
-        kernel(q_r, k_r, v_r, b_r, qc_r, qs_r, qcs_r, kcs_r, rest[i], krot_r)
+        kernel(q_r, k_r, v_r, b_r, qc_r, qs_r, qcs_r, kcs_r, rest[i],
+               krot_r, kn_r)
 
+    scratch_shapes = []
+    if has_split:
+        scratch_shapes.append(pltpu.VMEM((kp, lanes), k.dtype))
     out = pl.pallas_call(
         body,
         grid=grid,
         in_specs=in_specs,
         out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
-        scratch_shapes=(
-            [pltpu.VMEM((kp, lanes), k.dtype)] if has_split else []
-        ),
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),

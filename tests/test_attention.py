@@ -152,3 +152,79 @@ def test_w8a8_matmul_kernel(rng):
     ref = np.asarray(x) @ w + np.asarray(bias)
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.03, f"w8a8 kernel rel err {rel}"
+
+
+def test_packed_auto_bound_matches_rowmax(rng):
+    """softmax_bound="auto" (in-kernel per-row Cauchy-Schwarz bound) equals
+    the row-max pass EXACTLY (shift invariance), natural and split layouts,
+    at stressed score magnitudes, with and without bias."""
+    from candle_video_tpu.ops.pallas.flash_attention_packed import (
+        flash_attention_packed,
+    )
+    from candle_video_tpu.ops.rope import (
+        rope_cos_sin,
+        rope_split_permutation,
+        rope_split_tables,
+    )
+
+    b, s, h, d = 1, 256, 4, 64
+    scale = 1.0 / np.sqrt(d)
+    # x3 amplitudes: realized |scores| up to ~25 — stresses the headroom
+    q = jnp.asarray(rng.normal(size=(b, s, h * d)) * 3.0, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h * d)) * 3.0, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+
+    ref = flash_attention_packed(q, k, v, num_heads=h, scale=scale,
+                                 interpret=True)
+    got = flash_attention_packed(q, k, v, num_heads=h, scale=scale,
+                                 interpret=True, softmax_bound="auto")
+    assert float(jnp.abs(ref - got).max()) < 1e-5
+
+    # additive key bias (the masked cross-attention form)
+    bias = jnp.asarray(
+        np.where(rng.random((b, 1, 1, s)) > 0.3, 0.0, -10000.0), jnp.float32
+    )
+    ref_b = flash_attention_packed(q, k, v, num_heads=h, scale=scale,
+                                   bias=bias, interpret=True)
+    got_b = flash_attention_packed(q, k, v, num_heads=h, scale=scale,
+                                   bias=bias, interpret=True,
+                                   softmax_bound="auto")
+    assert float(jnp.abs(ref_b - got_b).max()) < 1e-5
+
+    # split layout: permuted q/k, in-kernel q+k rotation
+    grid = jnp.asarray(rng.uniform(size=(1, s, 3)), jnp.float32)
+    cos, sin = rope_cos_sin(grid, h * d)
+    cs = rope_split_tables(cos, sin)
+    perm = rope_split_permutation(h * d)
+    qs, ks = q[:, :, perm], k[:, :, perm]
+    ref_s = flash_attention_packed(qs, ks, v, num_heads=h, scale=scale,
+                                   rope_split=cs, interpret=True)
+    got_s = flash_attention_packed(qs, ks, v, num_heads=h, scale=scale,
+                                   rope_split=cs, interpret=True,
+                                   softmax_bound="auto")
+    assert float(jnp.abs(ref_s - got_s).max()) < 1e-5
+
+
+def test_score_head_map_covers_lane_layouts(rng):
+    """The lane->head map used by the in-kernel bound matches the true head
+    feature sets in both the natural and split lane layouts."""
+    from candle_video_tpu.ops.pallas.flash_attention_packed import (
+        score_head_map,
+    )
+    from candle_video_tpu.ops.rope import rope_split_permutation
+
+    h, d = 4, 64
+    q = rng.normal(size=(2, 8, h * d)).astype(np.float32)
+    qh = q.reshape(2, 8, h, d)
+    en_nat = (qh ** 2).sum(-1)
+
+    hm = score_head_map(h * d, d, False)
+    got = np.stack([(q[..., hm == i] ** 2).sum(-1) for i in range(h)], -1)
+    np.testing.assert_allclose(got, en_nat, rtol=1e-5)
+
+    perm = rope_split_permutation(h * d)
+    qs = q[:, :, perm]
+    hms = score_head_map(h * d, d, True)
+    gots = np.stack([(qs[..., hms == i] ** 2).sum(-1) for i in range(h)], -1)
+    np.testing.assert_allclose(gots, en_nat, rtol=1e-5)
+    assert sorted(np.bincount(hms)) == [d] * h
