@@ -21,8 +21,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ...ops.activations import silu
-from ...ops.conv3d import causal_conv3d
+from ...ops.conv3d import causal_conv3d, causal_conv3d_cl
 from ...ops.embeddings import sinusoidal_timestep_embedding
 
 
@@ -365,6 +367,215 @@ def decoder_tail_forward(params, cfg: LtxVaeConfig, h, temb=None,
     return _unpatchify(h, cfg.patch_size, cfg.patch_size_t)
 
 
+# ---------------------------------------------------------------------------
+# channels-last decoder (production path)
+#
+# Same math as the NCDHW decoder above (which stays as the parity oracle),
+# but every tensor is [B, T, H, W, C]:
+# - convs use causal_conv3d_cl (kt NHWC conv2d taps; 158-165 TF/s vs 90-117
+#   for XLA's NCDHW conv3d at the decoder's hot stages — see
+#   scripts/profile_conv_variants.py),
+# - channel norms reduce over the LANE axis instead of a strided middle axis.
+# Interfaces stay NCDHW: z is transposed on entry, video on exit.
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm_cl(x, eps: float = 1e-8, weight=None):
+    """RMSNorm over the trailing channel axis of [B,T,H,W,C], f32 internals
+    (vae.rs:148-153)."""
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = (xf / jnp.sqrt(ms + jnp.float32(eps))).astype(x.dtype)
+    if weight is not None:
+        y = y * weight.astype(x.dtype)
+    return y
+
+
+def _layer_norm_cl(x, eps: float, weight=None, bias=None):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = (xc / jnp.sqrt(var + jnp.float32(eps))).astype(x.dtype)
+    if weight is not None:
+        y = y * weight.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def _conv_cl(p, x, stride=(1, 1, 1), causal=True):
+    return causal_conv3d_cl(
+        x, p["weight"], p.get("bias"), stride=stride, causal=causal
+    )
+
+
+def _resnet_block_cl(p, cfg, x, temb2=None, causal=True, noise_key=None):
+    """LtxVideoResnetBlock3d (vae.rs:584-822), channels-last.
+
+    ``temb2``: [B, 4C] block-projected timestep embedding or None.
+    """
+    h = _rms_norm_cl(x, 1e-8)
+
+    if p.get("scale_shift_table") is not None and temb2 is not None:
+        tbl = p["scale_shift_table"]  # [4, C]
+        b = temb2.shape[0]
+        c = tbl.shape[1]
+        t = temb2.reshape(b, 4, c) + tbl[None].astype(temb2.dtype)
+        t = t[:, :, None, None, None, :]  # [B,4,1,1,1,C]
+        shift1, scale1, shift2, scale2 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
+    else:
+        shift1 = scale1 = shift2 = scale2 = None
+
+    if shift1 is not None:
+        h = h * (1.0 + scale1.astype(h.dtype)) + shift1.astype(h.dtype)
+    h = silu(h)
+    h = _conv_cl(p["conv1"], h, causal=causal)
+
+    if p.get("per_channel_scale1") is not None and noise_key is not None:
+        noise_key, sub = jax.random.split(noise_key)
+        noise = jax.random.normal(sub, h.shape[2:4], h.dtype)
+        h = h + noise[None, None, :, :, None] * p["per_channel_scale1"].astype(
+            h.dtype
+        ).reshape(1, 1, 1, 1, -1)
+
+    h = _rms_norm_cl(h, 1e-8)
+    if shift2 is not None:
+        h = h * (1.0 + scale2.astype(h.dtype)) + shift2.astype(h.dtype)
+    h = silu(h)
+    h = _conv_cl(p["conv2"], h, causal=causal)
+
+    if p.get("per_channel_scale2") is not None and noise_key is not None:
+        noise_key, sub = jax.random.split(noise_key)
+        noise = jax.random.normal(sub, h.shape[2:4], h.dtype)
+        h = h + noise[None, None, :, :, None] * p["per_channel_scale2"].astype(
+            h.dtype
+        ).reshape(1, 1, 1, 1, -1)
+
+    shortcut = x
+    if p.get("norm3") is not None:
+        shortcut = _layer_norm_cl(
+            shortcut, cfg.resnet_eps, p["norm3"].get("weight"), p["norm3"].get("bias")
+        )
+    elif p.get("conv_shortcut") is not None:
+        shortcut = _layer_norm_cl(shortcut, cfg.resnet_eps)
+    if p.get("conv_shortcut") is not None:
+        shortcut = _conv_cl(p["conv_shortcut"], shortcut, causal=causal)
+    return h + shortcut
+
+
+def _depth_to_space_cl(y, st, sh, sw):
+    """Channel order matches _depth_to_space: c = c_out-major, then
+    (st, sh, sw) (vae.rs:1106-1158)."""
+    b, t, hgt, wid, c = y.shape
+    c_out = c // (st * sh * sw)
+    y = y.reshape(b, t, hgt, wid, c_out, st, sh, sw)
+    y = y.transpose(0, 1, 5, 2, 6, 3, 7, 4)  # [B,T,st,H,sh,W,sw,C']
+    return y.reshape(b, t * st, hgt * sh, wid * sw, c_out)
+
+
+def _upsampler_cl(p, x, stride, residual: bool, channel_repeats: int,
+                  causal=True):
+    st, sh, sw = stride
+    res = None
+    if residual:
+        res = _depth_to_space_cl(x, st, sh, sw)
+        if channel_repeats > 1:
+            res = jnp.tile(res, (1, 1, 1, 1, channel_repeats))
+        res = res[:, st - 1 :]
+
+    h = _conv_cl(p["conv"], x, causal=causal)
+    h = _depth_to_space_cl(h, st, sh, sw)
+    h = h[:, st - 1 :]
+    if res is not None:
+        h = h + res
+    return h
+
+
+def _unpatchify_cl(x, p: int, pt: int):
+    """[B,F,H,W,C] with C ordered [c, pt, p_w, p_h] -> [B,F*pt,H*p,W*p,c]
+    (vae.rs:1626-1654)."""
+    b, f, h, w, c = x.shape
+    out_c = c // (pt * p * p)
+    x = x.reshape(b, f, h, w, out_c, pt, p, p)  # [..., c, pt, pW, pH]
+    x = x.transpose(0, 1, 5, 2, 7, 3, 6, 4)  # [B,F,pt,H,pH,W,pW,c]
+    return x.reshape(b, f * pt, h * p, w * p, out_c)
+
+
+def _block_temb_flat(block_params, temb_scaled, dtype):
+    if temb_scaled is None or block_params.get("time_embedder") is None:
+        return None
+    return _time_embedder(block_params["time_embedder"], temb_scaled, dtype)
+
+
+def decoder_head_forward_cl(params, cfg: LtxVaeConfig, z, temb=None,
+                            noise_key=None):
+    """Channels-last twin of decoder_head_forward: z [B,latent,F',H',W']
+    (NCDHW, transposed on entry) -> h [B,T,H,W,C]."""
+    causal = cfg.decoder_causal
+    dtype = params["conv_in"]["weight"].dtype
+    h = jnp.transpose(z.astype(dtype), (0, 2, 3, 4, 1))
+
+    h = _conv_cl(params["conv_in"], h, causal=causal)
+    temb_scaled = _temb_scaled(params, temb)
+
+    mid = params["mid_block"]
+    mt = _block_temb_flat(mid, temb_scaled, dtype)
+    for rp in mid["resnets"]:
+        h = _resnet_block_cl(rp, cfg, h, mt, causal=causal, noise_key=noise_key)
+
+    boc, sts, upr, upf = _decoder_geometry(cfg)
+    n_up = len(params["up_blocks"])
+    for i, bp in enumerate(params["up_blocks"]):
+        out_ch = boc[i] // upf[i]
+        ut = _block_temb_flat(bp, temb_scaled, dtype)
+        stride = (2, 2, 2) if sts[i] else (1, 2, 2)
+        in_ch = out_ch * upf[i]
+        channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
+        h = _upsampler_cl(
+            bp["upsamplers"][0], h, stride, upr[i], channel_repeats, causal=causal
+        )
+        if i == n_up - 1:
+            break  # the last block's resnets belong to the tail
+        for rp in bp["resnets"]:
+            h = _resnet_block_cl(rp, cfg, h, ut, causal=causal,
+                                 noise_key=noise_key)
+    return h
+
+
+def decoder_tail_forward_cl(params, cfg: LtxVaeConfig, h, temb=None,
+                            noise_key=None):
+    """Channels-last twin of decoder_tail_forward: h [B,T,H,W,C] ->
+    video [B,3,F,H,W] (NCDHW on exit)."""
+    causal = cfg.decoder_causal
+    dtype = params["conv_in"]["weight"].dtype
+    temb_scaled = _temb_scaled(params, temb)
+
+    i_last = len(params["up_blocks"]) - 1
+    bp = params["up_blocks"][i_last]
+    ut = _block_temb_flat(bp, temb_scaled, dtype)
+    for rp in bp["resnets"]:
+        h = _resnet_block_cl(rp, cfg, h, ut, causal=causal, noise_key=noise_key)
+
+    h = _rms_norm_cl(h, 1e-8)
+    if (
+        temb_scaled is not None
+        and params.get("time_embedder") is not None
+        and params.get("scale_shift_table") is not None
+    ):
+        e = _time_embedder(params["time_embedder"], temb_scaled, dtype)  # [B,2C]
+        c = params["scale_shift_table"].shape[1]
+        e = e.reshape(-1, 2, c) + params["scale_shift_table"][None].astype(dtype)
+        shift = e[:, 0][:, None, None, None, :]
+        scale = e[:, 1][:, None, None, None, :]
+        h = h * (1.0 + scale) + shift
+
+    h = silu(h)
+    h = _conv_cl(params["conv_out"], h, causal=causal)
+    h = _unpatchify_cl(h, cfg.patch_size, cfg.patch_size_t)
+    return jnp.transpose(h, (0, 4, 1, 2, 3))
+
+
 def tail_chunk_bounds(params, cfg: LtxVaeConfig, t_total: int,
                       tail_t_chunks: int):
     """Exact halo accounting for the chunked tail: each tail resnet has 2
@@ -385,8 +596,14 @@ def tail_chunk_bounds(params, cfg: LtxVaeConfig, t_total: int,
     return spans
 
 
+def _use_channels_last(channels_last=None) -> bool:
+    if channels_last is not None:
+        return channels_last
+    return os.environ.get("CVT_DECODER_LAYOUT", "cl") != "ncdhw"
+
+
 def decoder_forward(params, cfg: LtxVaeConfig, z, temb=None, noise_key=None,
-                    tail_t_chunks: int = 1):
+                    tail_t_chunks: int = 1, channels_last=None):
     """LtxVideoDecoder3d (vae.rs:1488-1727). z [B,latent,F,H,W] -> video
     [B,3,F*8,H*32,W*32] in [-1,1]; ``temb`` [B] decode timesteps or None.
 
@@ -400,20 +617,31 @@ def decoder_forward(params, cfg: LtxVaeConfig, z, temb=None, noise_key=None,
     Noise injection stays consistent: the per-conv noise is [H, W] spatial
     (shared across T), and each chunk replays the same key sequence.
 
+    ``channels_last`` (default: on, opt out via CVT_DECODER_LAYOUT=ncdhw):
+    run the channels-last decoder twins — the production path on TPU.
+
     NOTE: when this whole function runs under ONE jit, XLA may schedule
     the chunks' buffers to overlap and the peak-memory win evaporates —
     the facade (``decode``) therefore jits head and tail separately.
     """
-    h = decoder_head_forward(params, cfg, z, temb, noise_key)
+    cl = _use_channels_last(channels_last)
+    head = decoder_head_forward_cl if cl else decoder_head_forward
+    tail = decoder_tail_forward_cl if cl else decoder_tail_forward
+    t_axis = 1 if cl else 2
+
+    h = head(params, cfg, z, temb, noise_key)
     if tail_t_chunks <= 1:
-        return decoder_tail_forward(params, cfg, h, temb, noise_key)
+        return tail(params, cfg, h, temb, noise_key)
     pt = cfg.patch_size_t
     outs = []
     for start, end, lo, hi in tail_chunk_bounds(
-        params, cfg, h.shape[2], tail_t_chunks
+        params, cfg, h.shape[t_axis], tail_t_chunks
     ):
-        piece = decoder_tail_forward(params, cfg, h[:, :, lo:hi], temb,
-                                     noise_key)
+        piece = tail(
+            params, cfg,
+            h[:, :, lo:hi] if not cl else h[:, lo:hi],
+            temb, noise_key,
+        )
         # tail output has T * pt frames; crop the halo in output time
         outs.append(piece[:, :, (start - lo) * pt : (end - lo) * pt])
     return jnp.concatenate(outs, axis=2)
@@ -671,14 +899,18 @@ def temporal_tiled_encode(params, cfg: LtxVaeConfig, x, tiling: TilingConfig,
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_decoder(cfg: LtxVaeConfig):
+def _jitted_decoder(cfg: LtxVaeConfig, channels_last: bool):
     """Compile-once full decoder for the facade's default path (config is
     static; params/z/temb are traced arguments)."""
-    return jax.jit(lambda p, zz, tt: decoder_forward(p, cfg, zz, tt))
+    return jax.jit(
+        lambda p, zz, tt: decoder_forward(p, cfg, zz, tt,
+                                          channels_last=channels_last)
+    )
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_decoder_chunked(cfg: LtxVaeConfig, tail_t_chunks: int):
+def _jitted_decoder_chunked(cfg: LtxVaeConfig, tail_t_chunks: int,
+                            channels_last: bool):
     """Halo-chunked decode with head and tail as SEPARATE jits.
 
     One jit over the whole chunked decode lets XLA overlap the chunks'
@@ -686,17 +918,20 @@ def _jitted_decoder_chunked(cfg: LtxVaeConfig, tail_t_chunks: int):
     RESOURCE_EXHAUSTED with a resident 5 GiB T5 where the per-chunk eager
     path fit).  Separate programs bound the peak to max(head, one tail
     chunk) while still avoiding per-op dispatch."""
-    head = jax.jit(lambda p, zz, tt: decoder_head_forward(p, cfg, zz, tt))
-    tail = jax.jit(lambda p, hh, tt: decoder_tail_forward(p, cfg, hh, tt))
+    head_fn = decoder_head_forward_cl if channels_last else decoder_head_forward
+    tail_fn = decoder_tail_forward_cl if channels_last else decoder_tail_forward
+    t_axis = 1 if channels_last else 2
+    head = jax.jit(lambda p, zz, tt: head_fn(p, cfg, zz, tt))
+    tail = jax.jit(lambda p, hh, tt: tail_fn(p, cfg, hh, tt))
 
     def run(p, zz, tt):
         h = head(p, zz, tt)
         pt = cfg.patch_size_t
         outs = []
         for start, end, lo, hi in tail_chunk_bounds(
-            p, cfg, h.shape[2], tail_t_chunks
+            p, cfg, h.shape[t_axis], tail_t_chunks
         ):
-            piece = tail(p, h[:, :, lo:hi], tt)
+            piece = tail(p, h[:, :, lo:hi] if not channels_last else h[:, lo:hi], tt)
             outs.append(piece[:, :, (start - lo) * pt : (end - lo) * pt])
         return jnp.concatenate(outs, axis=2)
 
@@ -734,10 +969,11 @@ def decode(
     if decode_fn is None:
         # jit the default decoder: eagerly-dispatched decoder ops cost
         # ~0.7 s of per-op tunnel dispatches (and lose fusion) at 97f scale
+        cl = _use_channels_last()
         if tail_t_chunks > 1:
-            jitted = _jitted_decoder_chunked(cfg, tail_t_chunks)
+            jitted = _jitted_decoder_chunked(cfg, tail_t_chunks, cl)
         else:
-            jitted = _jitted_decoder(cfg)
+            jitted = _jitted_decoder(cfg, cl)
         decode_fn = lambda zz, tt: jitted(params["decoder"], zz, tt)  # noqa: E731
     if use_slicing and z.shape[0] > 1:
         outs = []

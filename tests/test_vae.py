@@ -530,3 +530,48 @@ def test_decoder_tail_chunking_is_exact(rng):
                        use_framewise_decoding=False, tail_t_chunks=2)
     np.testing.assert_allclose(np.asarray(out_chk), np.asarray(out_ref),
                                atol=2e-6, rtol=2e-6)
+
+
+def test_decoder_channels_last_equals_ncdhw(rng):
+    """The channels-last decoder (production path: NHWC conv2d taps, lane
+    norms) must match the NCDHW oracle decoder to f32 rounding — including
+    under tail chunking and with noise injection enabled."""
+    import jax
+
+    from candle_video_tpu.models.ltx_video import vae as V
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
+
+    for causal, inject in ((False, False), (True, False), (False, True)):
+        cfg = V.LtxVaeConfig(
+            in_channels=3, out_channels=3, latent_channels=4,
+            block_out_channels=(8, 16, 32), decoder_block_out_channels=(8, 16),
+            spatiotemporal_scaling=(True, True),
+            decoder_spatiotemporal_scaling=(True, True),
+            layers_per_block=(1, 1, 2), decoder_layers_per_block=(2, 2, 2),
+            patch_size=2, patch_size_t=1,
+            downsample_types=("spatiotemporal", "spatiotemporal"),
+            decoder_upsample_residual=(True, True),
+            decoder_upsample_factor=(2, 2),
+            timestep_conditioning=True, decoder_causal=causal,
+            decoder_inject_noise=(inject,) * 4,
+            spatial_compression_ratio=8, temporal_compression_ratio=4,
+        )
+        params = init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        z = jnp.asarray(rng.normal(size=(1, 4, 7, 4, 4)), jnp.float32)
+        temb = jnp.asarray([0.05], jnp.float32)
+        nk = jax.random.PRNGKey(7) if inject else None
+        ref = np.asarray(
+            V.decoder_forward(params["decoder"], cfg, z, temb, noise_key=nk,
+                              channels_last=False)
+        )
+        for chunks in (1, 2):
+            got = np.asarray(
+                V.decoder_forward(params["decoder"], cfg, z, temb,
+                                  noise_key=nk, tail_t_chunks=chunks,
+                                  channels_last=True)
+            )
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(
+                got, ref, atol=5e-5, rtol=1e-4,
+                err_msg=f"causal={causal} inject={inject} chunks={chunks}",
+            )
