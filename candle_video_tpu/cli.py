@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(and negative_*) to skip the text encoder")
     p.add_argument("--initial-latents-file", type=str, default=None,
                    help="safetensors with an 'latents' tensor")
+    p.add_argument("--image", type=str, default=None,
+                   help="conditioning image for image-to-video generation "
+                        "(resized to --height x --width)")
     p.add_argument("--save-final-latents", type=str, default=None)
     p.add_argument("--max-sequence-length", type=int, default=128)
     p.add_argument("--dtype", type=str, default="bfloat16",
@@ -252,6 +255,13 @@ def main(argv=None) -> int:
 
         kwargs["latents"] = jnp.asarray(
             load_safetensors(args.initial_latents_file)["latents"]
+        )
+
+    if args.image:
+        from .utils.video_io import load_image
+
+        kwargs["image"] = jnp.asarray(
+            load_image(args.image, args.height, args.width)
         )
 
     import contextlib

@@ -206,6 +206,85 @@ def denoise_loop(
     return final
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tcfg", "num_conds", "attn_impl", "use_skip", "num_train_timesteps"
+    ),
+)
+def denoise_loop_i2v(
+    transformer_params,
+    tcfg: TF.LtxTransformerConfig,
+    latents,  # [B, S, C] f32 — conditioned tokens already hold clean latents
+    cond_mask,  # [B, S] f32, 1 = conditioned token (first latent frame)
+    encoder_hidden_states,
+    encoder_attention_mask,
+    sigmas,  # [N+1] f32 — FULL schedule (per-token step searches it)
+    timesteps,  # [M] f32 — the steps to run (M=N, or 1 for step-wise mode)
+    rope_cos,
+    rope_sin,
+    guidance_scale,
+    guidance_rescale,
+    stg_scale,
+    skip_layer_mask,
+    num_conds: int = 1,
+    attn_impl: str = "auto",
+    use_skip: bool = False,
+    rope_split=None,
+    num_train_timesteps: int = 1000,
+):
+    """Image-conditioned denoising scan (beyond the reference, which is
+    t2v-only — but built on the reference's own per-token scheduler path,
+    scheduler.rs:511-542, and mirroring diffusers LTXImageToVideoPipeline):
+    each token carries its own timestep ``t·(1-mask)`` into the per-token
+    AdaLN, conditioned tokens run at t=0 and are left untouched by the
+    per-token Euler step."""
+    b = latents.shape[0]
+
+    if rope_split is None:
+        cos_b = jnp.broadcast_to(rope_cos, (num_conds * b,) + rope_cos.shape[1:])
+        sin_b = jnp.broadcast_to(rope_sin, (num_conds * b,) + rope_sin.shape[1:])
+    else:
+        cos_b, sin_b = rope_cos, rope_sin  # unused under the split layout
+
+    inv_mask = 1.0 - cond_mask.astype(jnp.float32)  # [B, S], 1 = denoise
+
+    def step_fn(lat, t):
+        lat_in = jnp.tile(lat, (num_conds, 1, 1))
+        tok_t = t * inv_mask  # [B, S] per-token timestep
+        timestep = jnp.tile(tok_t, (num_conds, 1))
+
+        pred = TF.forward(
+            transformer_params,
+            tcfg,
+            lat_in,
+            encoder_hidden_states,
+            timestep,
+            cos_b,
+            sin_b,
+            encoder_attention_mask=encoder_attention_mask,
+            skip_layer_mask=skip_layer_mask if use_skip else None,
+            attn_impl=attn_impl,
+            rope_split=rope_split,
+        ).astype(jnp.float32)
+
+        combined = guidance_combine(
+            pred, b, num_conds, guidance_scale, guidance_rescale, stg_scale
+        )
+        denoised = S.step_per_token(
+            lat, combined, sigmas, tok_t, num_train_timesteps
+        )
+        # tokens whose noise level is at/below the conditioning floor hold
+        denoise_tok = ((t / num_train_timesteps - 1e-6) < inv_mask)[..., None]
+        return jnp.where(denoise_tok, denoised, lat), None
+
+    final, _ = jax.lax.scan(
+        step_fn, latents.astype(jnp.float32), timesteps,
+        length=timesteps.shape[0],
+    )
+    return final
+
+
 def denoise_stepwise(
     pipe,
     transformer_params,
@@ -403,6 +482,9 @@ def generate(
     num_videos_per_prompt: int = 1,
     seed: int = 42,
     latents=None,
+    image=None,  # [B,C,H,W] or [C,H,W] in [-1,1]: image-to-video conditioning
+    image_latents=None,  # [B,C,1,h',w'] precomputed (unnormalized) first-frame latents
+    conditioning_sample_mode: str = "sample",  # "sample" | "argmax" posterior
     prompt_embeds=None,
     prompt_attention_mask=None,
     negative_prompt_embeds=None,
@@ -424,11 +506,18 @@ def generate(
     pp_microbatches: Optional[int] = None,
     pp_interleave: int = 1,
 ):
-    """End-to-end text-to-video generation (t2v_pipeline.rs:627-1073).
+    """End-to-end text/image-to-video generation (t2v_pipeline.rs:627-1073).
 
     ``pp_mesh``: run the denoise scan with the DiT block stack pipelined
     over the mesh's 'pp' axis (parallel.denoise_loop_pp) — GPipe by default,
-    interleaved virtual stages with ``pp_interleave>1``."""
+    interleaved virtual stages with ``pp_interleave>1``.
+
+    ``image`` / ``image_latents``: image-to-video conditioning (beyond the
+    reference's t2v-only pipeline; diffusers LTXImageToVideoPipeline
+    semantics on the reference's per-token scheduler path,
+    scheduler.rs:511-542): the image is VAE-encoded into the first latent
+    frame, all other frames start as noise, and conditioned tokens run at
+    per-token timestep 0 through the denoise loop."""
     cfg = pipe.config
     inf = cfg.inference
     tcfg = cfg.transformer
@@ -526,7 +615,62 @@ def generate(
     latent_width = width // vcfg.spatial_compression_ratio
     seq_len = latent_num_frames * latent_height * latent_width
 
-    if latents is None:
+    i2v = image is not None or image_latents is not None
+    cond_mask = None
+    if i2v:
+        if pipe.vae_params is None:
+            raise ValueError(
+                "image conditioning requires VAE params (encoder + latent stats)"
+            )
+        # first-latent-frame conditioning mask, packed to [B, S]
+        cond5 = np.zeros(
+            (eff_batch, 1, latent_num_frames, latent_height, latent_width),
+            np.float32,
+        )
+        cond5[:, :, 0] = 1.0
+        cond5 = jnp.asarray(cond5)
+        cond_mask = pack_latents(cond5, tcfg.patch_size, tcfg.patch_size_t)[..., 0]
+
+    if latents is None and i2v:
+        # encode the conditioning image into the first latent frame
+        if image_latents is None:
+            img = jnp.asarray(image, jnp.float32)
+            if img.ndim == 3:
+                img = img[None]
+            moments = V.encode(
+                pipe.vae_params, vcfg, img[:, :, None], use_tiling=use_vae_tiling
+            )
+            if conditioning_sample_mode == "sample":
+                il = V.gaussian_sample(moments, jax.random.PRNGKey(seed + 3))
+            elif conditioning_sample_mode == "argmax":
+                il, _ = V.gaussian_split(moments)
+            else:
+                raise ValueError(
+                    f"unknown conditioning_sample_mode {conditioning_sample_mode!r}"
+                )
+        else:
+            il = jnp.asarray(image_latents, jnp.float32)
+        il = V.normalize_latents(
+            il,
+            pipe.vae_params["latents_mean"],
+            pipe.vae_params["latents_std"],
+            vcfg.scaling_factor,
+        )
+        if il.shape[0] == 1 and eff_batch > 1:
+            il = jnp.broadcast_to(il, (eff_batch,) + il.shape[1:])
+        elif num_videos_per_prompt > 1:
+            il = jnp.repeat(il, num_videos_per_prompt, axis=0)
+
+        shape = (eff_batch, tcfg.in_channels, latent_num_frames, latent_height,
+                 latent_width)
+        if use_pcg_rng:
+            noise5 = jnp.asarray(Pcg32(seed, 0).randn(shape), jnp.float32)
+        else:
+            noise5 = jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+        init5 = jnp.tile(il.astype(jnp.float32), (1, 1, latent_num_frames, 1, 1))
+        lat5 = init5 * cond5 + noise5 * (1.0 - cond5)
+        latents = pack_latents(lat5, tcfg.patch_size, tcfg.patch_size_t)
+    elif latents is None:
         shape = (eff_batch, tcfg.in_channels, latent_num_frames, latent_height,
                  latent_width)
         if use_pcg_rng:
@@ -535,6 +679,8 @@ def generate(
             lat5 = jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
         latents = pack_latents(lat5, tcfg.patch_size, tcfg.patch_size_t)
     else:
+        # caller-provided latents are used as-is — for i2v this mirrors the
+        # diffusers prepare_latents early return (latents assumed pre-mixed)
         latents = jnp.asarray(latents, jnp.float32)
         if latents.ndim == 5:
             latents = pack_latents(latents, tcfg.patch_size, tcfg.patch_size_t)
@@ -599,7 +745,39 @@ def generate(
 
     # ---- denoise ---------------------------------------------------------------
     stochastic = cfg.scheduler.stochastic_sampling or inf.stochastic_sampling
-    if pp_mesh is not None:
+    if i2v:
+        if pp_mesh is not None:
+            raise ValueError("image conditioning is not supported in PP mode")
+        if stochastic:
+            raise ValueError(
+                "stochastic sampling is not supported with image conditioning "
+                "(per-token scheduler path)"
+            )
+
+        def _i2v_step(lat, ts):
+            return denoise_loop_i2v(
+                t_params, tcfg, lat, cond_mask, enc_states, enc_mask,
+                schedule.sigmas_jnp, ts, rope_cos, rope_sin,
+                jnp.float32(guidance_scale),
+                jnp.float32(guidance_rescale if do_cfg else 0.0),
+                jnp.float32(stg_scale), jnp.asarray(skip_mask),
+                num_conds=num_conds, attn_impl=attn_impl,
+                use_skip=bool(use_skip), rope_split=rope_split,
+                num_train_timesteps=cfg.scheduler.num_train_timesteps,
+            )
+
+        if step_callback is not None or pipe.interrupt:
+            final = latents.astype(jnp.float32)
+            n = schedule.timesteps.shape[0]
+            for i in range(n):
+                if pipe.interrupt:
+                    break
+                final = _i2v_step(final, schedule.timesteps_jnp[i : i + 1])
+                if step_callback is not None:
+                    step_callback(i, n, final)
+        else:
+            final = _i2v_step(latents, schedule.timesteps_jnp)
+    elif pp_mesh is not None:
         from ...parallel import denoise_loop_pp, shard_transformer_params_pp
 
         if step_callback is not None:

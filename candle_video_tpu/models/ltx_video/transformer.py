@@ -318,9 +318,13 @@ def _block(
     d = cfg.inner_dim
     orig = hidden
 
-    ada = p["scale_shift_table"][None] + temb6.reshape(b, 6, d)  # [B,6,D]
+    # temb6 is [B, T, 6D] with T in {1, S}: T=1 broadcasts one modulation over
+    # the sequence (t2v); T=S is per-token AdaLN (image-conditioned generation,
+    # diffusers LTXImageToVideoPipeline semantics — each token carries its own
+    # timestep, conditioned tokens run at t=0)
+    ada = p["scale_shift_table"][None, None] + temb6.reshape(b, -1, 6, d)
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
-        ada[:, i, None, :] for i in range(6)
+        ada[:, :, i, :] for i in range(6)  # [B, T, D]
     ]
 
     norm_hidden = rms_norm(hidden, eps=cfg.norm_eps)
@@ -360,7 +364,7 @@ def forward(
     cfg: LtxTransformerConfig,
     hidden_states,  # [B, S, in_channels]
     encoder_hidden_states,  # [B, K, caption_channels]
-    timestep,  # [B] f32, 0..num_train_timesteps scale
+    timestep,  # [B] or [B, S] (per-token) f32, 0..num_train_timesteps scale
     rope_cos,  # [B or 1, S, inner_dim] f32 (precomputed)
     rope_sin,
     encoder_attention_mask=None,  # [B, K] 1=keep/0=pad, or None
@@ -384,6 +388,12 @@ def forward(
 
     temb6, embedded_timestep = _timestep_embedding(
         params["time_embed"], timestep.reshape(-1).astype(jnp.float32), dtype
+    )
+    # [B, T, ...] with T=1 (scalar timestep) or T=S (per-token timestep)
+    b = hidden_states.shape[0]
+    temb6 = temb6.reshape(b, -1, temb6.shape[-1])
+    embedded_timestep = embedded_timestep.reshape(
+        b, -1, embedded_timestep.shape[-1]
     )
 
     enc_bias = None
@@ -413,11 +423,11 @@ def forward(
     xs = params["blocks"] if skip_stack is None else (params["blocks"], skip_stack)
     x, _ = jax.lax.scan(scan_body, x, xs, length=n_layers)
 
-    # final modulation (ltx_transformer.rs:1126-1161)
+    # final modulation (ltx_transformer.rs:1126-1161); per-token when T=S
     d = cfg.inner_dim
     table = params["scale_shift_table"].astype(embedded_timestep.dtype)
-    scale_shift = table[None] + embedded_timestep[:, None, :]  # [B,2,D]
-    shift, scale = scale_shift[:, 0, None, :], scale_shift[:, 1, None, :]
+    scale_shift = table[None, None] + embedded_timestep[:, :, None, :]  # [B,T,2,D]
+    shift, scale = scale_shift[:, :, 0, :], scale_shift[:, :, 1, :]
 
     x = layer_norm(x, eps=1e-6)
     x = x * (1.0 + scale) + shift

@@ -205,6 +205,8 @@ def pipeline_transformer_forward(
     temb6, embedded_timestep = TF._timestep_embedding(
         params["time_embed"], timestep.reshape(-1).astype(jnp.float32), dtype
     )
+    # _block consumes [B, T, 6D]; PP carries scalar timesteps only (T=1)
+    temb6 = temb6.reshape(B, 1, temb6.shape[-1])
     if encoder_attention_mask is not None:
         mask = encoder_attention_mask.astype(jnp.float32)
         enc_bias = ((1.0 - mask) * -10000.0)[:, None, None, :]  # [B,1,1,K]

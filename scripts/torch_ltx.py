@@ -157,7 +157,8 @@ class LtxTransformerBlock(nn.Module):
     def forward(self, x, enc, temb, rope, enc_mask=None):
         b = x.shape[0]
         d = x.shape[-1]
-        ada = self.scale_shift_table[None, None] + temb.view(b, 1, 6, d)
+        # temb [B, T, 6D], T in {1, S}: per-token AdaLN when T=S (i2v)
+        ada = self.scale_shift_table[None, None] + temb.view(b, -1, 6, d)
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = ada.unbind(2)
 
         h = self.norm1(x) * (1 + scale_msa) + shift_msa
@@ -212,7 +213,11 @@ class LtxTransformer3D(nn.Module):
         skip_layer_mask=None,  # [L, B], 1 = skip
     ):
         x = self.proj_in(hidden_states)
+        b = x.shape[0]
+        # timestep [B] (scalar) or [B, S] (per-token, i2v)
         temb, embedded = self.time_embed(timestep.flatten(), x.dtype)
+        temb = temb.view(b, -1, temb.shape[-1])
+        embedded = embedded.view(b, -1, embedded.shape[-1])
         enc = self.caption_projection(encoder_hidden_states)
 
         bnf, bh, bw = self.bases
@@ -226,7 +231,7 @@ class LtxTransformer3D(nn.Module):
                 m = skip_layer_mask[i].view(-1, 1, 1).to(x.dtype)
                 x = x * (1 - m) + orig * m
 
-        ss = self.scale_shift_table[None, None] + embedded[:, None, None, :]
+        ss = self.scale_shift_table[None, None] + embedded[:, :, None, :]
         shift, scale = ss[:, :, 0], ss[:, :, 1]
         x = F.layer_norm(x, (x.shape[-1],), eps=1e-6)
         x = x * (1 + scale) + shift
