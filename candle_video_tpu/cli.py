@@ -64,9 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(and negative_*) to skip the text encoder")
     p.add_argument("--initial-latents-file", type=str, default=None,
                    help="safetensors with an 'latents' tensor")
-    p.add_argument("--image", type=str, default=None,
-                   help="conditioning image for image-to-video generation "
-                        "(resized to --height x --width)")
+    p.add_argument("--image", type=str, action="append", default=None,
+                   help="conditioning image for image/video-conditioned "
+                        "generation, resized to --height x --width; "
+                        "repeatable; 'path[:frame[:strength]]' places the "
+                        "anchor at a latent frame index (default 0) with "
+                        "strength (default 1.0) — e.g. --image a.png "
+                        "--image b.png:12:0.9 for first+last interpolation")
     p.add_argument("--save-final-latents", type=str, default=None)
     p.add_argument("--max-sequence-length", type=int, default=128)
     p.add_argument("--dtype", type=str, default="bfloat16",
@@ -94,6 +98,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device mesh spec: 'dp=1,tp=4' (tensor-parallel 13B) "
                         "or 'pp=4[,interleave=2]' (pipelined denoise)")
     return p
+
+
+def parse_image_spec(spec: str) -> tuple:
+    """'path[:frame[:strength]]' -> (path, frame_index, strength).
+
+    Trailing pieces count only when they parse as numbers, so paths
+    containing ':' still resolve (e.g. 'C:/img.png', 'img.png:12:0.9')."""
+    parts = spec.rsplit(":", 2)
+    if len(parts) == 3:
+        try:
+            return parts[0], int(parts[1]), float(parts[2])
+        except ValueError:
+            pass
+    if len(parts) >= 2:
+        try:
+            return spec.rsplit(":", 1)[0], int(parts[-1]), 1.0
+        except ValueError:
+            pass
+    return spec, 0, 1.0
 
 
 def load_pipeline(args):
@@ -258,11 +281,16 @@ def main(argv=None) -> int:
         )
 
     if args.image:
+        from .models.ltx_video.pipeline import ConditioningItem
         from .utils.video_io import load_image
 
-        kwargs["image"] = jnp.asarray(
-            load_image(args.image, args.height, args.width)
-        )
+        kwargs["conditioning"] = [
+            ConditioningItem(
+                image=jnp.asarray(load_image(path, args.height, args.width)),
+                frame_index=frame_index, strength=strength,
+            )
+            for path, frame_index, strength in map(parse_image_spec, args.image)
+        ]
 
     import contextlib
 

@@ -335,6 +335,31 @@ def denoise_stepwise(
     return lat
 
 
+@dataclasses.dataclass
+class ConditioningItem:
+    """One conditioning anchor for image/video-conditioned generation.
+
+    ``image`` [B,C,H,W] (or [C,H,W]) in [-1,1] — VAE-encoded at prepare
+    time — or ``latents`` [B,C,1,h',w'] (unnormalized, as the encoder
+    emits).  The anchor is placed at latent ``frame_index`` (0 = classic
+    i2v first-frame conditioning; ``latent_num_frames-1`` = last-frame
+    anchor, giving first+last interpolation with two items).
+
+    ``strength`` in (0, 1]: 1 holds the token exactly through the whole
+    denoise loop; s < 1 blends the anchor with noise at preparation
+    (``s·anchor + (1-s)·noise``) and runs the token at per-token timestep
+    ``t·(1-s)`` so it starts denoising once the schedule drops below its
+    noise floor (extension semantics on the reference's per-token
+    scheduler path, scheduler.rs:511-542).  Later items override earlier
+    ones on overlapping frames.
+    """
+
+    image: Any = None
+    latents: Any = None
+    frame_index: int = 0
+    strength: float = 1.0
+
+
 # ---------------------------------------------------------------------------
 # the pipeline facade
 # ---------------------------------------------------------------------------
@@ -484,6 +509,7 @@ def generate(
     latents=None,
     image=None,  # [B,C,H,W] or [C,H,W] in [-1,1]: image-to-video conditioning
     image_latents=None,  # [B,C,1,h',w'] precomputed (unnormalized) first-frame latents
+    conditioning: Optional[Sequence["ConditioningItem"]] = None,  # multi-anchor
     conditioning_sample_mode: str = "sample",  # "sample" | "argmax" posterior
     prompt_embeds=None,
     prompt_attention_mask=None,
@@ -517,7 +543,14 @@ def generate(
     semantics on the reference's per-token scheduler path,
     scheduler.rs:511-542): the image is VAE-encoded into the first latent
     frame, all other frames start as noise, and conditioned tokens run at
-    per-token timestep 0 through the denoise loop."""
+    per-token timestep 0 through the denoise loop.
+
+    ``conditioning``: the general multi-anchor surface — a list of
+    ``ConditioningItem`` placing images (or precomputed latents) at
+    arbitrary latent frame indices with per-item strength; two items at
+    the first and last frames give first+last interpolation, a chain of
+    them video continuation.  ``image=...`` is sugar for a single hard
+    anchor at frame 0."""
     cfg = pipe.config
     inf = cfg.inference
     tcfg = cfg.transformer
@@ -615,51 +648,70 @@ def generate(
     latent_width = width // vcfg.spatial_compression_ratio
     seq_len = latent_num_frames * latent_height * latent_width
 
-    i2v = image is not None or image_latents is not None
+    if conditioning is not None and (image is not None or image_latents is not None):
+        raise ValueError("pass either `conditioning` or `image`/`image_latents`")
+    if image is not None or image_latents is not None:
+        # classic i2v sugar: one hard anchor on the first latent frame
+        conditioning = [ConditioningItem(image=image, latents=image_latents)]
+    i2v = bool(conditioning)
     cond_mask = None
     if i2v:
         if pipe.vae_params is None:
             raise ValueError(
                 "image conditioning requires VAE params (encoder + latent stats)"
             )
-        # first-latent-frame conditioning mask, packed to [B, S]
-        cond5 = np.zeros(
+        # per-frame conditioning-strength mask, packed to [B, S]
+        cond_np = np.zeros(
             (eff_batch, 1, latent_num_frames, latent_height, latent_width),
             np.float32,
         )
-        cond5[:, :, 0] = 1.0
-        cond5 = jnp.asarray(cond5)
+        for item in conditioning:
+            if not 0 <= item.frame_index < latent_num_frames:
+                raise ValueError(
+                    f"frame_index {item.frame_index} outside latent range "
+                    f"[0, {latent_num_frames})"
+                )
+            if not 0.0 < item.strength <= 1.0:
+                raise ValueError(f"strength must be in (0, 1], got {item.strength}")
+            if item.image is None and item.latents is None:
+                raise ValueError("ConditioningItem needs image or latents")
+            cond_np[:, :, item.frame_index] = item.strength
+        cond5 = jnp.asarray(cond_np)
         cond_mask = pack_latents(cond5, tcfg.patch_size, tcfg.patch_size_t)[..., 0]
 
     if latents is None and i2v:
-        # encode the conditioning image into the first latent frame
-        if image_latents is None:
-            img = jnp.asarray(image, jnp.float32)
-            if img.ndim == 3:
-                img = img[None]
-            moments = V.encode(
-                pipe.vae_params, vcfg, img[:, :, None], use_tiling=use_vae_tiling
-            )
-            if conditioning_sample_mode == "sample":
-                il = V.gaussian_sample(moments, jax.random.PRNGKey(seed + 3))
-            elif conditioning_sample_mode == "argmax":
-                il, _ = V.gaussian_split(moments)
-            else:
-                raise ValueError(
-                    f"unknown conditioning_sample_mode {conditioning_sample_mode!r}"
+        # encode each conditioning anchor into its latent frame
+        def _anchor_latent(item, idx):
+            if item.latents is None:
+                img = jnp.asarray(item.image, jnp.float32)
+                if img.ndim == 3:
+                    img = img[None]
+                moments = V.encode(
+                    pipe.vae_params, vcfg, img[:, :, None],
+                    use_tiling=use_vae_tiling,
                 )
-        else:
-            il = jnp.asarray(image_latents, jnp.float32)
-        il = V.normalize_latents(
-            il,
-            pipe.vae_params["latents_mean"],
-            pipe.vae_params["latents_std"],
-            vcfg.scaling_factor,
-        )
-        if il.shape[0] == 1 and eff_batch > 1:
-            il = jnp.broadcast_to(il, (eff_batch,) + il.shape[1:])
-        elif num_videos_per_prompt > 1:
-            il = jnp.repeat(il, num_videos_per_prompt, axis=0)
+                if conditioning_sample_mode == "sample":
+                    il = V.gaussian_sample(moments, jax.random.PRNGKey(seed + 3 + idx))
+                elif conditioning_sample_mode == "argmax":
+                    il, _ = V.gaussian_split(moments)
+                else:
+                    raise ValueError(
+                        f"unknown conditioning_sample_mode "
+                        f"{conditioning_sample_mode!r}"
+                    )
+            else:
+                il = jnp.asarray(item.latents, jnp.float32)
+            il = V.normalize_latents(
+                il,
+                pipe.vae_params["latents_mean"],
+                pipe.vae_params["latents_std"],
+                vcfg.scaling_factor,
+            )
+            if il.shape[0] == 1 and eff_batch > 1:
+                il = jnp.broadcast_to(il, (eff_batch,) + il.shape[1:])
+            elif num_videos_per_prompt > 1:
+                il = jnp.repeat(il, num_videos_per_prompt, axis=0)
+            return il.astype(jnp.float32)
 
         shape = (eff_batch, tcfg.in_channels, latent_num_frames, latent_height,
                  latent_width)
@@ -667,7 +719,10 @@ def generate(
             noise5 = jnp.asarray(Pcg32(seed, 0).randn(shape), jnp.float32)
         else:
             noise5 = jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
-        init5 = jnp.tile(il.astype(jnp.float32), (1, 1, latent_num_frames, 1, 1))
+        init5 = jnp.zeros(shape, jnp.float32)
+        for idx, item in enumerate(conditioning):
+            fi = item.frame_index
+            init5 = init5.at[:, :, fi : fi + 1].set(_anchor_latent(item, idx))
         lat5 = init5 * cond5 + noise5 * (1.0 - cond5)
         latents = pack_latents(lat5, tcfg.patch_size, tcfg.patch_size_t)
     elif latents is None:

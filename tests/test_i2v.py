@@ -264,6 +264,137 @@ def test_i2v_pipeline_parity(dit_models, guidance_scale):
     assert np.abs(got[0, ~cond_idx] - mixed_packed[0, ~cond_idx]).max() > 1e-3
 
 
+def test_multi_anchor_conditioning_parity(dit_models):
+    """Two anchors — hard first frame + strength-0.6 last frame (first+last
+    interpolation) — vs the mask-generic torch mirror loop."""
+    dit, tcfg, tparams = dit_models
+    rng = np.random.default_rng(8)
+
+    f, h, w = 3, 2, 3
+    s = f * h * w
+    embeds = (rng.normal(size=(1, 5, 16)) * 0.3).astype(np.float32)
+    mask = np.ones((1, 5), np.float32)
+
+    mean = np.linspace(-0.1, 0.1, 4).astype(np.float32)
+    std = np.linspace(0.9, 1.1, 4).astype(np.float32)
+    vparams = {"latents_mean": jnp.asarray(mean), "latents_std": jnp.asarray(std)}
+
+    il0 = rng.normal(size=(1, 4, 1, h, w)).astype(np.float32)
+    il2 = rng.normal(size=(1, 4, 1, h, w)).astype(np.float32)
+
+    def norm(x):
+        return (x - mean.reshape(1, 4, 1, 1, 1)) / std.reshape(1, 4, 1, 1, 1)
+
+    cond5 = np.zeros((1, 1, f, h, w), np.float32)
+    cond5[:, :, 0] = 1.0
+    cond5[:, :, 2] = 0.6
+    init5 = np.zeros((1, 4, f, h, w), np.float32)
+    init5[:, :, 0:1] = norm(il0)
+    init5[:, :, 2:3] = norm(il2)
+    noise5 = Pcg32(42, 0).randn((1, 4, f, h, w)).astype(np.float32)
+    mixed5 = init5 * cond5 + noise5 * (1.0 - cond5)
+    cond_mask = _pack_np(cond5)[..., 0]
+
+    schcfg = FlowMatchEulerSchedulerConfig(
+        shift_terminal=0.1, base_shift=0.95, max_shift=2.05,
+        base_image_seq_len=1024, max_image_seq_len=4096,
+    )
+    mu = S.calculate_shift(s, 1024, 4096, 0.95, 2.05)
+    schedule = S.set_timesteps(
+        schcfg, num_inference_steps=4,
+        sigmas=np.linspace(1.0, 0.25, 4).tolist(), mu=mu,
+    )
+    coords = _coords(f, h, w)
+
+    ref = _i2v_torch_loop(
+        dit, schedule, _pack_np(mixed5), cond_mask, embeds, mask, coords,
+        guidance_scale=1.0,
+    )
+
+    vcfg = V.LtxVaeConfig(
+        latent_channels=4, spatial_compression_ratio=32,
+        temporal_compression_ratio=4, timestep_conditioning=False,
+    )
+    full = LtxFullConfig(
+        inference=LtxInferenceConfig(
+            guidance_scale=1.0, num_inference_steps=4,
+            stg_scale=0.0, rescaling_scale=0.0, skip_block_list=(),
+        ),
+        transformer=tcfg, vae=vcfg, scheduler=schcfg,
+    )
+    pipe = P.LtxPipeline(
+        config=full, transformer_params=tparams, vae_params=vparams,
+    )
+    got = np.asarray(P.generate(
+        pipe,
+        prompt_embeds=jnp.asarray(embeds),
+        prompt_attention_mask=jnp.asarray(mask),
+        height=h * 32, width=w * 32, num_frames=(f - 1) * 4 + 1,
+        conditioning=[
+            P.ConditioningItem(latents=jnp.asarray(il0), frame_index=0),
+            P.ConditioningItem(latents=jnp.asarray(il2), frame_index=2,
+                               strength=0.6),
+        ],
+        num_inference_steps=4, seed=42, use_pcg_rng=True,
+        output_type="latent", attn_impl="xla",
+    ))
+    assert np.mean((got - ref) ** 2) < 1e-9
+
+    mixed_packed = _pack_np(mixed5)
+    hard = cond_mask[0] == 1.0
+    soft = cond_mask[0] == 0.6
+    free = cond_mask[0] == 0.0
+    # hard anchors held exactly; soft anchors and free tokens both denoise
+    # (the soft anchor enters the loop once sigma < 1 - strength)
+    np.testing.assert_array_equal(got[0, hard], mixed_packed[0, hard])
+    assert np.abs(got[0, soft] - mixed_packed[0, soft]).max() > 1e-4
+    assert np.abs(got[0, free] - mixed_packed[0, free]).max() > 1e-3
+
+
+def test_image_sugar_equals_conditioning_item(dit_models):
+    """generate(image_latents=...) must equal the explicit single-item
+    conditioning list (frame 0, strength 1)."""
+    _, tcfg, tparams = dit_models
+    rng = np.random.default_rng(9)
+    f, h, w = 2, 2, 3
+    embeds = (rng.normal(size=(1, 5, 16)) * 0.3).astype(np.float32)
+    mask = np.ones((1, 5), np.float32)
+    vparams = {
+        "latents_mean": jnp.asarray(np.zeros(4), jnp.float32),
+        "latents_std": jnp.asarray(np.ones(4), jnp.float32),
+    }
+    il = rng.normal(size=(1, 4, 1, h, w)).astype(np.float32)
+
+    vcfg = V.LtxVaeConfig(
+        latent_channels=4, spatial_compression_ratio=32,
+        temporal_compression_ratio=4, timestep_conditioning=False,
+    )
+    full = LtxFullConfig(
+        inference=LtxInferenceConfig(
+            guidance_scale=1.0, num_inference_steps=3,
+            stg_scale=0.0, rescaling_scale=0.0, skip_block_list=(),
+        ),
+        transformer=tcfg, vae=vcfg,
+        scheduler=FlowMatchEulerSchedulerConfig(shift_terminal=0.1),
+    )
+    pipe = P.LtxPipeline(
+        config=full, transformer_params=tparams, vae_params=vparams,
+    )
+    kwargs = dict(
+        prompt_embeds=jnp.asarray(embeds),
+        prompt_attention_mask=jnp.asarray(mask),
+        height=h * 32, width=w * 32, num_frames=(f - 1) * 4 + 1,
+        num_inference_steps=3, seed=11, use_pcg_rng=True,
+        output_type="latent", attn_impl="xla",
+    )
+    a = P.generate(pipe, image_latents=jnp.asarray(il), **kwargs)
+    b = P.generate(
+        pipe, conditioning=[P.ConditioningItem(latents=jnp.asarray(il))],
+        **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_i2v_loop_split_rope_matches_standard():
     """The i2v denoise scan under the split-rope fast path (permuted params +
     compact tables + packed kernel, the production TPU dispatch) matches the
@@ -318,6 +449,17 @@ def test_i2v_loop_split_rope_matches_standard():
     np.testing.assert_array_equal(
         np.asarray(got)[0, cmask[0].astype(bool)], held
     )
+
+
+def test_cli_image_spec_parsing():
+    from candle_video_tpu.cli import parse_image_spec
+
+    assert parse_image_spec("a.png") == ("a.png", 0, 1.0)
+    assert parse_image_spec("a.png:12") == ("a.png", 12, 1.0)
+    assert parse_image_spec("a.png:12:0.9") == ("a.png", 12, 0.9)
+    assert parse_image_spec("C:/imgs/a.png") == ("C:/imgs/a.png", 0, 1.0)
+    assert parse_image_spec("C:/imgs/a.png:3") == ("C:/imgs/a.png", 3, 1.0)
+    assert parse_image_spec("C:/x/a.png:3:0.5") == ("C:/x/a.png", 3, 0.5)
 
 
 def test_i2v_image_encode_consistency(dit_models):
