@@ -73,6 +73,17 @@ class VideoGenerationServer:
         self._pipe = pipe
         self._buckets = {b.key(): b for b in buckets}
         self._max_batch = max(1, int(max_batch))
+        if any(k in generate_kwargs
+               for k in ("conditioning", "image", "image_latents")):
+            # the serving path injects explicit per-row noise as `latents`,
+            # which generate() treats as PRE-MIXED under conditioning — the
+            # anchors would silently be dropped.  Conditioned serving needs a
+            # per-request conditioning surface (not a server-level kwarg).
+            raise ValueError(
+                "image conditioning is not supported as a server-level "
+                "generate kwarg; serve conditioned requests through "
+                "generate() directly"
+            )
         self._gen_kwargs = generate_kwargs
         self._queue: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
         # items skipped by _drain_batch, consumed before new queue items

@@ -277,3 +277,17 @@ def test_batching_mixed_buckets_requeue(tiny_pipe):
     assert r0.shape == (1, 8, 8)
     assert r1.shape == (1, 3 * 3 * 2, 8)
     assert server.stats()["served"] == 2
+
+
+def test_server_rejects_conditioning_kwargs():
+    """Server-level conditioning would silently drop anchors (the serving
+    path passes explicit per-row noise latents, which generate() treats as
+    pre-mixed under conditioning) — must be rejected at construction."""
+    import pytest as _pytest
+
+    from candle_video_tpu.serving import ShapeBucket, VideoGenerationServer
+
+    with _pytest.raises(ValueError, match="conditioning"):
+        VideoGenerationServer(
+            object(), [ShapeBucket(64, 64, 9, 4)], image_latents=object()
+        )
