@@ -67,53 +67,30 @@ class LtxTransformerConfig:
 # ---------------------------------------------------------------------------
 
 
-def _np_rng_from_key(key) -> np.random.Generator:
-    # host-side init: one jax.random call per tensor would trigger one XLA
-    # compile per distinct shape (minutes on a remote-compile backend)
-    seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
-    return np.random.default_rng(seed)
+def _param_spec(cfg: LtxTransformerConfig):
+    from ...utils.init_spec import normal, ones, zeros
 
-
-def init_params(key, cfg: LtxTransformerConfig, dtype=jnp.bfloat16):
-    """Random-init parameter pytree (testing / shape contract).
-
-    Built and STACKED entirely host-side (NumPy), converted to device arrays
-    once at the end: stacking per-layer device arrays with ``jnp.stack``
-    would briefly hold two copies of the block stack in HBM (2x ~8 GiB at
-    f32 for the 2B model — observed OOM on a 16 GiB chip).
-    """
     d = cfg.inner_dim
-    rng = _np_rng_from_key(key)
+    L = cfg.num_layers
+    inv_sqrt_d = 1.0 / math.sqrt(d)
 
-    def lin(d_in, d_out, bias=True, std=0.02):
-        p = {"weight": rng.normal(size=(d_in, d_out)).astype(np.float32) * std}
+    def lin(d_in, d_out, bias=True, std=0.02, lead=()):
+        p = {"weight": normal((*lead, d_in, d_out), std)}
         if bias:
-            p["bias"] = np.zeros((d_out,), np.float32)
+            p["bias"] = zeros((*lead, d_out))
         return p
 
-    def attn_params(kv_dim):
+    def attn_params(kv_dim, lead=()):
         return {
-            "norm_q": {"weight": np.ones((d,), np.float32)},
-            "norm_k": {"weight": np.ones((d,), np.float32)},
-            "to_q": lin(d, d, cfg.attention_bias),
-            "to_k": lin(kv_dim, d, cfg.attention_bias),
-            "to_v": lin(kv_dim, d, cfg.attention_bias),
-            "to_out": lin(d, d, cfg.attention_out_bias),
+            "norm_q": {"weight": ones((*lead, d))},
+            "norm_k": {"weight": ones((*lead, d))},
+            "to_q": lin(d, d, cfg.attention_bias, lead=lead),
+            "to_k": lin(kv_dim, d, cfg.attention_bias, lead=lead),
+            "to_v": lin(kv_dim, d, cfg.attention_bias, lead=lead),
+            "to_out": lin(d, d, cfg.attention_out_bias, lead=lead),
         }
 
-    def block_params():
-        return {
-            "attn1": attn_params(d),
-            "attn2": attn_params(d),
-            "ff": {"net_0_proj": lin(d, 4 * d), "net_2": lin(4 * d, d)},
-            "scale_shift_table": rng.normal(size=(6, d)).astype(np.float32)
-            / np.float32(math.sqrt(d)),
-        }
-
-    blocks = [block_params() for _ in range(cfg.num_layers)]
-    stacked = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
-
-    tree = {
+    return {
         "proj_in": lin(cfg.in_channels, d),
         "time_embed": {
             "emb": {
@@ -128,12 +105,33 @@ def init_params(key, cfg: LtxTransformerConfig, dtype=jnp.bfloat16):
             "linear_1": lin(cfg.caption_channels, d),
             "linear_2": lin(d, d),
         },
-        "blocks": stacked,
-        "scale_shift_table": rng.normal(size=(2, d)).astype(np.float32)
-        / np.float32(math.sqrt(d)),
+        # the [L, ...] block stacks are generated directly (no per-layer stack)
+        "blocks": {
+            "attn1": attn_params(d, lead=(L,)),
+            "attn2": attn_params(d, lead=(L,)),
+            "ff": {
+                "net_0_proj": lin(d, 4 * d, lead=(L,)),
+                "net_2": lin(4 * d, d, lead=(L,)),
+            },
+            "scale_shift_table": normal((L, 6, d), inv_sqrt_d),
+        },
+        "scale_shift_table": normal((2, d), inv_sqrt_d),
         "proj_out": lin(d, cfg.out_channels or cfg.in_channels),
     }
-    return jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)
+
+
+def init_params(key, cfg: LtxTransformerConfig, dtype=jnp.bfloat16):
+    """Random-init parameter pytree (testing / shape contract).
+
+    On TPU the whole tree is generated ON DEVICE by ONE jitted builder
+    (utils/init_spec.materialize) — ~3 s warm-cache vs ~100-220 s for
+    host-side NumPy generation of the 1.92B params (the bulk of the
+    random-weights cold start on a single-core host).  Real checkpoints
+    come through the loader instead.
+    """
+    from ...utils.init_spec import materialize
+
+    return materialize(key, _param_spec(cfg), dtype)
 
 
 # ---------------------------------------------------------------------------
