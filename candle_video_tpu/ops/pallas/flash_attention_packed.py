@@ -253,7 +253,7 @@ def packed_viable(s_len: int, kv_len: int, num_heads: int, head_dim: int) -> boo
     jax.jit,
     static_argnames=(
         "num_heads", "scale", "block_q", "interpret", "softmax_bound",
-        "scores_bf16",
+        "scores_bf16", "lane_group_heads",
     ),
 )
 def flash_attention_packed(
@@ -272,6 +272,10 @@ def flash_attention_packed(
     softmax_bound: float | str | None = None,  # "auto": in-kernel CS bound
     #   replaces the row-max pass; float: static bound (A/B); None: row max
     scores_bf16: bool = False,  # exp2 at bf16 (quality-gated A/B)
+    lane_group_heads: int | None = None,  # heads per lane group (default
+    #   128//D).  num_heads = ALL heads in one program — the short-K
+    #   cross-attention blocking: k/v resident once per batch, every head's
+    #   scores+softmax+PV fused with no HBM roundtrip.
 ):
     """Returns [B, S, H*D]; exact one-pass softmax per head."""
     if interpret is None:
@@ -281,8 +285,10 @@ def flash_attention_packed(
     b, s_len, hd = q.shape
     kv_len = k.shape[1]
     head_dim = hd // num_heads
-    hp = 128 // head_dim  # heads per 128-lane block
-    lanes = hp * head_dim  # == 128
+    hp = lane_group_heads or 128 // head_dim  # heads per lane block
+    if rope_split is not None and hp * head_dim != 128:
+        raise ValueError("rope_split requires 128-lane grouping")
+    lanes = hp * head_dim  # 128, or H*D in full-lanes mode
     n_groups = num_heads // hp
     if rope_split is not None and kv_len != s_len:
         raise ValueError("rope_split requires self-attention (kv_len == s_len)")

@@ -228,3 +228,38 @@ def test_score_head_map_covers_lane_layouts(rng):
     gots = np.stack([(qs[..., hms == i] ** 2).sum(-1) for i in range(h)], -1)
     np.testing.assert_allclose(gots, en_nat, rtol=1e-5)
     assert sorted(np.bincount(hms)) == [d] * h
+
+
+def test_packed_full_lanes_grouping_matches_oracle():
+    """lane_group_heads=H (the short-K cross-attention blocking experiment):
+    all heads in one program, k/v resident once per batch.  Measured slower
+    than the unfused XLA bf16 path at K=128 (benches/cross_attn_exp.py:
+    1.42 vs 1.24 ms/layer) so it is NOT dispatched, but the blocking is kept
+    correct for other shapes."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from candle_video_tpu.ops.attention import attention_xla
+    from candle_video_tpu.ops.pallas.flash_attention_packed import (
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(0)
+    b, s, k_len, h, d = 2, 40, 24, 4, 64
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, k_len, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, k_len, h, d)), jnp.float32)
+    mask = np.ones((b, k_len), np.float32)
+    mask[:, 20:] = 0.0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :], jnp.float32)
+    scale = 1.0 / d**0.5
+
+    ref = attention_xla(q, k, v, scale, bias=bias)
+    got = flash_attention_packed(
+        q.reshape(b, s, h * d), k.reshape(b, k_len, h * d),
+        v.reshape(b, k_len, h * d), num_heads=h, scale=scale, bias=bias,
+        lane_group_heads=h, interpret=True,
+    ).reshape(b, s, h, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-6, rtol=2e-5)
