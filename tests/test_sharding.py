@@ -123,6 +123,41 @@ def test_denoise_loop_on_mesh(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+def test_i2v_denoise_loop_on_mesh(setup):
+    """The image-conditioned denoise scan (per-token timesteps + conditioned
+    first latent frame) sharded dp=2 x tp=4 matches the unsharded loop —
+    conditioning composes with GSPMD like the t2v scan."""
+    cfg, params, hidden, enc, t, cos, sin = setup
+    mesh = make_mesh(dp=2, tp=4)
+    sigmas = jnp.asarray([1.0, 0.55, 0.1, 0.0], jnp.float32)
+    timesteps = sigmas[:-1] * 1000.0
+    skip = jnp.zeros((cfg.num_layers, 2), jnp.float32)
+    s = hidden.shape[1]
+    cmask = np.zeros((2, s), np.float32)
+    cmask[:, : s // 2] = 1.0  # first latent frame conditioned
+
+    common = dict(num_conds=1, attn_impl="xla")
+    ref = P.denoise_loop_i2v(
+        params, cfg, hidden, jnp.asarray(cmask), enc,
+        jnp.ones((2, 5), jnp.float32), sigmas, timesteps, cos, sin,
+        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0), skip, **common,
+    )
+    with mesh:
+        sharded = shard_transformer_params(params, mesh)
+        lat = shard_batch(hidden, mesh)
+        out = P.denoise_loop_i2v(
+            sharded, cfg, lat, shard_batch(jnp.asarray(cmask), mesh), enc,
+            jnp.ones((2, 5), jnp.float32), sigmas, timesteps, cos, sin,
+            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0), skip,
+            **common,
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+    # conditioned tokens held exactly on BOTH paths
+    held = np.asarray(hidden)[:, : s // 2]
+    np.testing.assert_array_equal(np.asarray(out)[:, : s // 2], held)
+    np.testing.assert_array_equal(np.asarray(ref)[:, : s // 2], held)
+
+
 def test_13b_structure_depth48_tp(setup):
     """48-layer 13B-structure config (scaled head_dim) through the sharded
     denoise scan — validates depth + TP at the real layer count."""
