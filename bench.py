@@ -50,6 +50,18 @@ def _emit(metric, value, unit, vs_baseline):
     }), flush=True)
 
 
+_T0 = time.time()
+
+
+def _stage(name):
+    # wall-clock stage marker on stderr (diagnoses compile/tunnel overhead
+    # between measurements without touching the JSON contract on stdout)
+    import sys
+
+    print(f"[bench +{time.time() - _T0:7.1f}s] {name}", file=sys.stderr,
+          flush=True)
+
+
 def _timed_best(fn, sync, n=3):
     out = fn()
     sync(out)
@@ -144,10 +156,12 @@ def main():
         idx = tuple(0 for _ in range(leaf.ndim - 1)) + (slice(0, 1),)
         np.asarray(leaf[idx])
 
+    _stage("setup: configs + zeros DiT done")
     # ---- 1. untiled VAE decode (before the 5 GiB encoder is resident —
     # untiled 512x768x97f decode peaks ~9 GiB of activations) ----------------------------------------------
     vcfg = V.LtxVaeConfig()
     vae_params = init_vae_params(jax.random.PRNGKey(0), vcfg, jnp.bfloat16)
+    _stage("vae params built")
     f, h, w = 13, 16, 24  # 512x768x97f latents -> S=4992
     z = jnp.asarray(rng.normal(size=(1, 128, f, h, w)) * 0.3, jnp.bfloat16)
     temb = jnp.asarray([0.05], jnp.float32)
@@ -155,17 +169,20 @@ def main():
     vae_s, _ = _timed_best(
         lambda: dec(vae_params["decoder"], z=z, temb=temb), fetch
     )
+    _stage("vae decode measured")
     _emit("vae_decode_ms_512x768x97f", vae_s * 1000.0,
           "ms", VAE_BASELINE_MS / (vae_s * 1000.0))
 
     # ---- 2. full-size T5-XXL int8 encode -----------------------------------
     t5_cfg = T5.t5_xxl()
     t5_params = build_t5_int8_params(t5_cfg)
+    _stage("t5 params built")
     t5_bytes = sum(x.nbytes for x in jax.tree.leaves(t5_params))
     ids = jnp.asarray(rng.integers(0, t5_cfg.vocab_size, size=(1, 128)), jnp.int32)
     pos_bias = T5.position_bias(t5_params, t5_cfg, 128)
     t5_fwd = jax.jit(lambda p, i, b: T5.forward(p, t5_cfg, i, pos_bias=b))
     t5_s, embeds = _timed_best(lambda: t5_fwd(t5_params, ids, pos_bias), fetch)
+    _stage("t5 encode measured")
     _emit("t5_encode_ms_xxl_int8_128tok", t5_s * 1000.0, "ms", None)
     _emit("t5_hbm_gib_xxl_int8", t5_bytes / 2**30, "GiB", None)
 
@@ -204,6 +221,7 @@ def main():
     assert video.shape[0] == 1 and 512 in video.shape and 768 in video.shape, (
         video.shape
     )
+    _stage("e2e measured")
     _emit("e2e_s_512x768x97f", e2e_s, "s", E2E_BASELINE_S / e2e_s)
 
     # ---- 4. HEADLINE: production denoise scan -------------------------------
@@ -245,6 +263,7 @@ def main():
 
     step_s, _ = _timed_best(run, fetch)
     step_ms = step_s / n_steps * 1000.0
+    _stage("denoise measured")
     _emit("denoise_step_ms_2b_512x768x97f", step_ms,
           "ms/step", DENOISE_BASELINE_MS / step_ms)
 
