@@ -126,3 +126,31 @@ def test_real_tokenizer_wrapper(tmp_path):
     assert mask[0].sum() == 2
     assert ids[1, 2] == 1  # "plays" -> <unk>
     assert mask[1].sum() == 3
+
+
+def test_init_spec_materialize_backend_invariant_stream():
+    """materialize() must draw from jax.random (threefry — bit-identical
+    across backends), NOT host NumPy: cross-backend parity harnesses build
+    the CPU oracle and the TPU run from the same key in different
+    processes (regression: test_tpu_parity broke when init was host-side
+    on CPU and device-side on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from candle_video_tpu.utils.init_spec import materialize, normal, zeros
+
+    key = jax.random.PRNGKey(7)
+    spec = {"a": {"weight": normal((4, 8), 0.5), "bias": zeros((8,))}}
+    got = materialize(key, spec, jnp.float32)
+    # leaf 0 in sorted-flatten order is a.bias, leaf 1 is a.weight
+    expect = jax.random.normal(jax.random.fold_in(key, 1), (4, 8),
+                               jnp.float32) * jnp.float32(0.5)
+    np.testing.assert_array_equal(np.asarray(got["a"]["weight"]),
+                                  np.asarray(expect))
+    np.testing.assert_array_equal(np.asarray(got["a"]["bias"]),
+                                  np.zeros((8,), np.float32))
+    # deterministic across calls
+    again = materialize(key, spec, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got["a"]["weight"]),
+                                  np.asarray(again["a"]["weight"]))
