@@ -14,6 +14,13 @@ capture records every row:
 4. denoise_step_ms_2b_512x768x97f (HEADLINE) — per-step latency of the
    jitted 7-step denoise scan.
 
+Plus, first (subprocess — needs the whole chip to itself):
+0. denoise_step_ms_13b_int8_512x768x97f — the FULL 13B DiT (48L, 32x128
+   heads, d=4096, ~26 GiB BF16) on ONE 16 GiB chip via weight-only int8
+   (W8A16, ~12.7 GiB) with dequant fused into the Pallas matmul k-loop.
+   The reference cannot run 13B on its 12 GB card at any precision —
+   vs_baseline is null.
+
 Baselines (reference docs/benchmark_results.md): denoise ~312.5 ms/step
 (260 @ seq 4096 / 500 @ seq 8192 on RTX 3060, interpolated to S=4992);
 VAE decode 30 s (lower bound of its 30-60 s range); e2e 35 s (lower bound
@@ -127,6 +134,29 @@ def build_t5_int8_params(cfg):
     }
 
 
+def bench_13b_subprocess():
+    """13B int8 single-chip denoise (benches/bench_13b.py) in a SUBPROCESS:
+    its ~12.7 GiB int8 param tree needs the whole chip, so it runs before
+    this process touches the device and releases everything on exit.
+    Failure is non-fatal — the 2B suite below is the contract."""
+    import subprocess
+    import sys
+
+    try:
+        res = subprocess.run(
+            [sys.executable, "-m", "benches.bench_13b"],
+            capture_output=True, text=True, timeout=1500, cwd=os.path.dirname(
+                os.path.abspath(__file__)),
+        )
+        line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
+        rec = json.loads(line)
+        _emit(rec["metric"], float(rec["value"]), rec["unit"],
+              rec.get("vs_baseline"))
+    except Exception as e:  # noqa: BLE001 — bench must survive 13B hiccups
+        print(f"[bench] 13B sub-bench skipped: {e}", file=__import__("sys").stderr,
+              flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -140,6 +170,8 @@ def main():
     from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
     from candle_video_tpu.models.ltx_video.zeros_init import zeros_transformer_params
     from candle_video_tpu.ops.rope import rope_cos_sin
+
+    bench_13b_subprocess()  # BEFORE any device work in this process
 
     full = get_config_by_version("0.9.8-2b-distilled")
     cfg = full.transformer

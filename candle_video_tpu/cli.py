@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep GGUF T5 weights int8 in HBM with dequant fused "
                         "into the matmul (reference memory semantics, ~5.1 vs "
                         "9.5 GiB for T5-XXL); default dequantizes once to BF16")
+    p.add_argument("--dit-int8", action="store_true",
+                   help="quantize the DiT block linears to weight-only int8 "
+                        "(W8A16) at load, with dequant fused into the Pallas "
+                        "matmul k-loop — runs the 13B model (~26 GiB BF16) on "
+                        "one 16 GiB chip at ~12.7 GiB")
     p.add_argument("--t5-dir", type=str, default=None,
                    help="HF text_encoder dir (safetensors, BF16 path)")
     p.add_argument("--tokenizer", type=str, default=None,
@@ -154,12 +159,22 @@ def load_pipeline(args):
             tsd = load_sharded(os.path.join(args.weights_path, "transformer"))
             vsd = load_sharded(os.path.join(args.weights_path, "vae"))
         tparams = transformer_params_from_state_dict(tsd, cfg.transformer, dtype)
+        if args.dit_int8:
+            print("Quantizing DiT block linears to weight-only int8 (W8A16)")
+            tparams = TF.quantize_transformer_params_w8(tparams)
         vparams = vae_params_from_state_dict(vsd, dtype)
     else:
         print("No --weights-path: using random-init models (smoke mode)")
         import jax
 
-        tparams = TF.init_params(jax.random.PRNGKey(0), cfg.transformer, dtype)
+        if args.dit_int8:
+            # direct-int8 device init: never materializes the BF16 tree
+            # (26 GiB at 13B — would not fit the chip it is meant to enable)
+            tparams = TF.init_params_w8(jax.random.PRNGKey(0), cfg.transformer,
+                                        dtype=dtype)
+        else:
+            tparams = TF.init_params(jax.random.PRNGKey(0), cfg.transformer,
+                                     dtype)
         from .models.ltx_video.vae_init import init_vae_params
 
         vparams = init_vae_params(jax.random.PRNGKey(1), cfg.vae, dtype)

@@ -482,7 +482,8 @@ def _use_split_rope(pipe, tcfg, seq_len: int, attn_impl: str) -> bool:
         return False
     if tcfg.inner_dim % 128 or 128 % tcfg.attention_head_dim:
         return False
-    if "weight" not in pipe.transformer_params["blocks"]["attn1"]["to_q"]:
+    to_q = pipe.transformer_params["blocks"]["attn1"]["to_q"]
+    if "weight" not in to_q and "w8" not in to_q:
         return False  # W8A8-quantized params keep the interleaved layout
     return packed_viable(
         seq_len, seq_len, tcfg.num_attention_heads, tcfg.attention_head_dim

@@ -219,6 +219,32 @@ def test_e2e_latent_output(tiny_pipeline):
     assert bool(jnp.isfinite(out).all())
 
 
+def test_e2e_w8_quantized_dit(tiny_pipeline):
+    """generate() with the DiT block linears in weight-only int8 (W8A16 —
+    the 13B-on-one-chip path, CLI --dit-int8): the full pipeline dispatch
+    must run the quantized linears and land close to the dense output."""
+    import dataclasses as _dc
+
+    qpipe = _dc.replace(
+        tiny_pipeline,
+        transformer_params=TF.quantize_transformer_params_w8(
+            tiny_pipeline.transformer_params, qblock=8
+        ),
+    )
+    kw = dict(
+        prompt="a cat playing piano", negative_prompt="blurry",
+        height=64, width=64, num_frames=5, num_inference_steps=3,
+        output_type="latent", max_sequence_length=8, attn_impl="xla",
+        seed=11,
+    )
+    dense = np.asarray(P.generate(tiny_pipeline, **kw))
+    quant = np.asarray(P.generate(qpipe, **kw))
+    assert quant.shape == dense.shape
+    assert np.isfinite(quant).all()
+    rel = np.abs(quant - dense).max() / (np.abs(dense).max() + 1e-6)
+    assert 0 < rel < 0.05, f"w8 e2e relative deviation {rel}"
+
+
 def test_e2e_video_output(tiny_pipeline):
     out = P.generate(
         tiny_pipeline,

@@ -203,6 +203,82 @@ def test_w8a8_quantized_forward_close(tiny_models):
     assert np.abs(got - ref).max() > 0
 
 
+def test_w8_weight_only_forward_close(tiny_models):
+    """Weight-only int8 (W8A16, the 13B-on-one-chip path): int8 block
+    weights with dequant fused into the Pallas matmul must stay closer to
+    the dense forward than W8A8 (no activation quantization error)."""
+    tm, cfg, params = tiny_models
+    hidden, enc, t, mask, coords = _inputs(seed=23)
+    qparams = T.quantize_transformer_params_w8(params, qblock=8)
+    assert qparams["blocks"]["attn1"]["to_q"]["w8"].dtype == jnp.int8
+    assert qparams["blocks"]["ff"]["net_2"]["w8_scale"].shape == (
+        cfg.num_layers, 96 // 8, 24
+    )
+    # non-block linears stay dense
+    assert "weight" in qparams["proj_in"]
+    ref = _jax_forward(params, cfg, hidden, enc, t, mask, coords)
+    got = _jax_forward(qparams, cfg, hidden, enc, t, mask, coords)
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.03, f"w8 weight-only relative error {rel}"
+    assert np.abs(got - ref).max() > 0  # the quantized path really ran
+
+
+def test_w8_permute_quantize_commute():
+    """Split-rope support for w8 params: permuting int8 columns + their
+    per-(group, column) scales is EXACTLY the quantization of the permuted
+    dense weight (whole output columns move, groups run along K)."""
+    from candle_video_tpu.ops.rope import rope_split_permutation
+
+    cfg = T.LtxTransformerConfig(
+        in_channels=8, out_channels=8, num_attention_heads=2,
+        attention_head_dim=64, cross_attention_dim=32, num_layers=2,
+        caption_channels=16,
+    )  # inner_dim 128 — the split layout's lane-group requirement
+    params = T.init_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    q_then_p = T.permute_params_rope_split(
+        T.quantize_transformer_params_w8(params, qblock=8), cfg
+    )
+    perm = np.asarray(rope_split_permutation(cfg.inner_dim))
+    dense_p = jax.tree.map(lambda x: x, params)  # shallow copy via identity
+    a1 = {**dense_p["blocks"]["attn1"]}
+    for name in ("to_q", "to_k"):
+        lin = {"weight": a1[name]["weight"][..., perm]}
+        if "bias" in a1[name]:
+            lin["bias"] = a1[name]["bias"][..., perm]
+        a1[name] = lin
+    p_then_q = T.quantize_transformer_params_w8(
+        {**params, "blocks": {**params["blocks"],
+                              "attn1": {**params["blocks"]["attn1"], **a1}}},
+        qblock=8,
+    )
+    for name in ("to_q", "to_k"):
+        np.testing.assert_array_equal(
+            np.asarray(q_then_p["blocks"]["attn1"][name]["w8"]),
+            np.asarray(p_then_q["blocks"]["attn1"][name]["w8"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(q_then_p["blocks"]["attn1"][name]["w8_scale"]),
+            np.asarray(p_then_q["blocks"]["attn1"][name]["w8_scale"]),
+        )
+
+
+def test_init_params_w8_runs_forward():
+    """Direct-int8 random init (13B smoke path): block linears carry int8
+    payloads + constant scales, non-block leaves come from the standard
+    builder; the forward runs and is finite."""
+    cfg = tiny_cfg()
+    params = T.init_params_w8(jax.random.PRNGKey(2), cfg, qblock=8,
+                              dtype=jnp.float32)
+    assert params["blocks"]["attn2"]["to_v"]["w8"].shape == (2, 24, 24)
+    assert params["blocks"]["attn2"]["to_v"]["w8"].dtype == jnp.int8
+    assert "weight" not in params["blocks"]["ff"]["net_0_proj"]
+    hidden, enc, t, mask, coords = _inputs(seed=31)
+    out = _jax_forward(params, cfg, hidden, enc, t, mask, coords)
+    assert out.shape == (2, 24, 8)
+    assert np.isfinite(out).all()
+
+
 def test_w8a8_quality_gate_production_width():
     """W8A8 quality gate at the 2B production width (d=2048, 4d FF): the
     dynamic-activation int8 path must stay within bf16-class error of the
