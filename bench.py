@@ -148,10 +148,20 @@ def bench_13b_subprocess():
             capture_output=True, text=True, timeout=1500, cwd=os.path.dirname(
                 os.path.abspath(__file__)),
         )
-        line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
-        rec = json.loads(line)
-        _emit(rec["metric"], float(rec["value"]), rec["unit"],
-              rec.get("vs_baseline"))
+        emitted = 0
+        for line in res.stdout.strip().splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            rec = json.loads(line)
+            _emit(rec["metric"], float(rec["value"]), rec["unit"],
+                  rec.get("vs_baseline"))
+            emitted += 1
+        if not emitted:
+            raise RuntimeError(
+                f"no metrics in 13B sub-bench output (rc={res.returncode}): "
+                f"{res.stderr.strip().splitlines()[-1] if res.stderr.strip() else ''}"
+            )
     except Exception as e:  # noqa: BLE001 — bench must survive 13B hiccups
         print(f"[bench] 13B sub-bench skipped: {e}", file=__import__("sys").stderr,
               flush=True)

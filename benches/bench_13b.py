@@ -1,13 +1,23 @@
-"""13B DiT denoise on ONE 16 GiB chip via weight-only int8 (W8A16).
+"""13B text-to-video on ONE 16 GiB chip via weight-only int8 (W8A16).
 
 The 13B LTX transformer (48 layers, 32x128 heads, d=4096 —
 reference configs.rs:151-160) is ~26 GiB in BF16: it cannot fit a single
 v5e chip (nor the reference's 12 GB RTX 3060 at any precision).  With the
-block linears quantized to int8-in-HBM (~12.4 GiB incl. scales) and dequant
+block linears quantized to int8-in-HBM (~12.7 GiB incl. scales) and dequant
 fused into the Pallas matmul k-loop (ops/pallas/int8_weight_matmul.py), the
-full model runs single-chip.  This bench measures the production denoise
-scan (jitted lax.scan, 7 distilled steps, packed-kernel attention with the
-split-rope layout) at 512x768x97f (S=4992).
+full model runs single-chip.  Two metrics at 512x768x97f (S=4992):
+
+1. denoise_step_ms_13b_int8_512x768x97f — the production denoise scan
+   (jitted lax.scan, 7 distilled steps, packed-kernel attention with the
+   split-rope layout).
+2. e2e_s_13b_int8_512x768x97f — full generate(): denoise -> VAE decode ->
+   uint8 video, with STAGED memory: the 5.1 GiB T5-XXL int8 encodes the
+   prompt FIRST and is freed before the 12.7 GiB DiT materializes (both
+   resident would exceed the chip), and the decode runs the reference's
+   tiled path (256px tiles / 192px stride — the 13B-resident budget leaves
+   ~2 GiB for decode temps, below the untiled 4.3 GiB halo-chunked floor;
+   tiling is exactly what the reference's 12 GB card does for EVERY decode,
+   vae.rs:2158-2290).
 
 Weights are random (direct-int8 device init — real checkpoints quantize at
 load via transformer.quantize_transformer_params_w8); compute cost is
@@ -40,11 +50,35 @@ def log(msg):
 T0 = time.perf_counter()
 
 
+def staged_t5_encode(caption_channels: int):
+    """Full-size T5-XXL int8 prompt encode, then FREE the encoder: 5.1 GiB
+    (T5) + 12.7 GiB (13B int8) exceeds the chip, so the 13B flow stages
+    them — encode first, drop the tree, then materialize the DiT."""
+    from bench import build_t5_int8_params
+    from candle_video_tpu.models.ltx_video import t5 as T5
+
+    t5_cfg = T5.t5_xxl()
+    assert t5_cfg.d_model == caption_channels
+    t5_params = build_t5_int8_params(t5_cfg)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, t5_cfg.vocab_size, size=(1, 128)),
+                      jnp.int32)
+    pos_bias = T5.position_bias(t5_params, t5_cfg, 128)
+    t0 = time.perf_counter()
+    embeds = T5.forward(t5_params, t5_cfg, ids, pos_bias=pos_bias)
+    embeds = jnp.asarray(np.asarray(embeds))  # host round-trip detaches it
+    log(f"T5-XXL int8 staged encode: {time.perf_counter() - t0:.2f} s "
+        f"(incl. compile), encoder freed")
+    return embeds
+
+
 def main():
     from candle_video_tpu.models.ltx_video import configs as C
     from candle_video_tpu.models.ltx_video import pipeline as P
     from candle_video_tpu.models.ltx_video import scheduler as S
     from candle_video_tpu.models.ltx_video import transformer as TF
+    from candle_video_tpu.models.ltx_video import vae as V
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
     from candle_video_tpu.ops.rope import rope_cos_sin, rope_split_tables
 
     full = C.v0_9_8_distilled_13b()
@@ -54,6 +88,8 @@ def main():
 
     log(f"13B config: {cfg.num_layers}L, {cfg.num_attention_heads}x"
         f"{cfg.attention_head_dim}, S={s}")
+
+    enc_staged = staged_t5_encode(cfg.caption_channels)
 
     params = TF.init_params_w8(jax.random.PRNGKey(0), cfg, qblock=128)
     # force materialization, then report the param footprint
@@ -118,7 +154,74 @@ def main():
         "value": round(step_ms, 1),
         "unit": "ms/step",
         "vs_baseline": None,  # reference cannot run 13B on its 12 GB GPU
-    }))
+    }), flush=True)
+
+    # ---- e2e: generate() with the 13B resident + tiled decode -------------
+    # free the denoise-phase buffers (~0.8 GiB of rope tables etc.) —
+    # generate() builds its own
+    latents = enc = cos = sin = rope_split = out = None  # noqa: F841
+    pipe = P.LtxPipeline(config=full, transformer_params=params)
+    # Mark the params AS-IS as split-rope laid out: uniform-byte random
+    # payloads are distribution-invariant under the lane permutation, so the
+    # bench skips it (the cached-copy default would hold both layouts,
+    # +1.6 GiB of int8 q/k stacks, and an on-device in-place permute peaks
+    # at old+new coexisting — both OOM next to the 12.7 GiB tree).  Real
+    # checkpoints permute HOST-SIDE at load
+    # (loader.transformer_params_w8_from_state_dict(rope_split=True) — the
+    # CLI --dit-int8 path), where it costs nothing on device.
+    pipe.mark_rope_presplit()
+    params = None  # the pipeline owns the tree now
+
+    vcfg = full.vae
+    vae_params = init_vae_params(jax.random.PRNGKey(1), vcfg, jnp.bfloat16)
+    vae_params.pop("encoder", None)  # decode-only: free 0.87 GiB
+    jax.block_until_ready(vae_params)
+    pipe.vae_params = vae_params
+    log("VAE decoder params resident")
+
+    mask = jnp.ones((1, 128), jnp.float32)
+
+    def e2e():
+        return P.generate(
+            pipe,
+            prompt_embeds=enc_staged,
+            prompt_attention_mask=mask,
+            height=512, width=768, num_frames=97,
+            output_type="tensor",
+            use_pcg_rng=False,
+            # 12.7 GiB resident leaves ~2 GiB for decode temps — below the
+            # 4.3 GiB untiled halo-chunked floor, so decode tiles (the
+            # reference's own memory answer, at smaller tiles)
+            use_vae_tiling=True,
+            vae_tiling=V.TilingConfig(
+                tile_sample_min_height=256, tile_sample_min_width=256,
+                tile_sample_stride_height=192, tile_sample_stride_width=192,
+                # full-T spatial tiles (12 x [13,8,8] latent, ~1.2 GiB temp
+                # each); temporal tiling at 13 latent frames would fragment
+                # the decode into ~48 tiny programs
+                tile_sample_min_num_frames=104,
+            ),
+        )
+
+    out = e2e()
+    np.asarray(out[0, 0, 0, 0, :1])
+    log("e2e compiled + first run done")
+    best = float("inf")
+    for _ in range(2):
+        out = None
+        t0 = time.perf_counter()
+        out = e2e()
+        np.asarray(out[0, 0, 0, 0, :1])
+        best = min(best, time.perf_counter() - t0)
+    log(f"e2e: {best:.3f} s")
+    assert out.shape[0] == 1 and 512 in out.shape and 768 in out.shape
+
+    print(json.dumps({
+        "metric": "e2e_s_13b_int8_512x768x97f",
+        "value": round(best, 2),
+        "unit": "s",
+        "vs_baseline": None,  # reference cannot run 13B on its 12 GB GPU
+    }), flush=True)
 
 
 if __name__ == "__main__":

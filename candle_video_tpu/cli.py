@@ -149,6 +149,7 @@ def load_pipeline(args):
         args.weights_path = resolve_weights(args.version)
 
     tparams = vparams = None
+    rope_presplit = False
     if args.weights_path:
         fmt = detect_format(args.weights_path)
         print(f"Loading weights ({fmt}): {args.weights_path}")
@@ -158,10 +159,34 @@ def load_pipeline(args):
         else:
             tsd = load_sharded(os.path.join(args.weights_path, "transformer"))
             vsd = load_sharded(os.path.join(args.weights_path, "vae"))
-        tparams = transformer_params_from_state_dict(tsd, cfg.transformer, dtype)
         if args.dit_int8:
-            print("Quantizing DiT block linears to weight-only int8 (W8A16)")
-            tparams = TF.quantize_transformer_params_w8(tparams)
+            # streaming host-side quantization: the BF16 block tree (26 GiB
+            # at 13B) never exists on device; fold the split-rope
+            # permutation in at load (free) when the run will dispatch the
+            # packed kernel
+            from .models.ltx_video.loader import (
+                transformer_params_w8_from_state_dict,
+            )
+            from .models.ltx_video.pipeline import split_rope_viable
+
+            vae_cfg = cfg.vae
+            seq_len = (
+                ((args.num_frames - 1) // vae_cfg.temporal_compression_ratio + 1)
+                * (args.height // vae_cfg.spatial_compression_ratio)
+                * (args.width // vae_cfg.spatial_compression_ratio)
+            )
+            presplit = split_rope_viable(cfg.transformer, seq_len,
+                                         args.attn_impl)
+            print("Loading DiT as weight-only int8 (W8A16"
+                  f"{', split-rope folded in' if presplit else ''})")
+            tparams = transformer_params_w8_from_state_dict(
+                tsd, cfg.transformer, dtype, rope_split=presplit
+            )
+            rope_presplit = presplit
+        else:
+            tparams = transformer_params_from_state_dict(
+                tsd, cfg.transformer, dtype
+            )
         vparams = vae_params_from_state_dict(vsd, dtype)
     else:
         print("No --weights-path: using random-init models (smoke mode)")
@@ -198,7 +223,7 @@ def load_pipeline(args):
     else:
         tokenizer = MockTokenizer(model_max_length=args.max_sequence_length)
 
-    return LtxPipeline(
+    pipe = LtxPipeline(
         config=cfg,
         transformer_params=tparams,
         vae_params=vparams,
@@ -206,6 +231,9 @@ def load_pipeline(args):
         t5_config=t5_cfg,
         tokenizer=tokenizer,
     )
+    if rope_presplit:
+        pipe.mark_rope_presplit()
+    return pipe
 
 
 def main(argv=None) -> int:

@@ -149,6 +149,14 @@ def transformer_params_from_state_dict(
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
+    top = _transformer_top_level(sd, dtype)
+    top["blocks"] = stacked
+    return top
+
+
+def _transformer_top_level(sd, dtype):
+    """The non-block leaves of the transformer tree (head/tail/embedders) —
+    shared by the dense and the streaming-w8 loaders."""
     return {
         "proj_in": _lin(sd, "proj_in", dtype),
         "time_embed": {
@@ -164,10 +172,92 @@ def transformer_params_from_state_dict(
             "linear_1": _lin(sd, "caption_projection.linear_1", dtype),
             "linear_2": _lin(sd, "caption_projection.linear_2", dtype),
         },
-        "blocks": stacked,
         "scale_shift_table": _vec(sd, "scale_shift_table", dtype),
         "proj_out": _lin(sd, "proj_out", dtype),
     }
+
+
+def transformer_params_w8_from_state_dict(
+    sd: Dict[str, np.ndarray],
+    cfg: LtxTransformerConfig,
+    dtype=jnp.bfloat16,
+    qblock: int = 128,
+    rope_split: bool = False,
+):
+    """Diffusers-layout state dict → weight-only-int8 (W8A16) stacked tree.
+
+    The memory-scalable 13B loader: block linears are quantized HOST-SIDE
+    layer by layer straight off the (mmap-backed) state dict and only the
+    int8 payloads + f32 scales are uploaded, so neither host RAM nor the
+    device ever holds the BF16 block tree (~26 GiB at 13B; device peak is
+    the final ~12.7 GiB).  The device-tree path
+    (``transformer_params_from_state_dict`` +
+    ``transformer.quantize_transformer_params_w8``) produces bit-identical
+    payloads (tested) but requires the dense tree to fit first.
+
+    ``rope_split=True`` additionally folds the split-rope lane permutation
+    into attn1 to_q/to_k (+ norm_q/norm_k) host-side — free, unlike the
+    on-device ``materialize_split_rope`` which briefly holds both layouts.
+    Callers that pass it MUST mark the pipeline
+    (``LtxPipeline.mark_rope_presplit()``) so dispatch refuses non-packed
+    fallbacks (the permuted q/k are wrong for the interleaved rotation).
+    """
+    from ...ops.rope import rope_split_permutation
+    from .transformer import quantize_w8_np
+
+    L = cfg.num_layers
+    perm = np.asarray(rope_split_permutation(cfg.inner_dim)) if rope_split else None
+
+    def q_lin_stacked(path_fmt, permute=False):
+        """Stack one block-linear over layers, quantizing per layer."""
+        w0 = sd[path_fmt.format(0) + ".weight"]
+        k, n = w0.shape[1], w0.shape[0]  # torch [out,in] -> ours [K,N]
+        q8 = np.empty((L, k, n), np.int8)
+        sc = np.empty((L, k // qblock, n), np.float32)
+        has_bias = path_fmt.format(0) + ".bias" in sd
+        bias = np.empty((L, n), np.float32) if has_bias else None
+        for i in range(L):
+            w = np.ascontiguousarray(sd[path_fmt.format(i) + ".weight"].T)
+            if permute and perm is not None:
+                w = w[:, perm]
+            q8[i], sc[i] = quantize_w8_np(w, qblock)
+            if has_bias:
+                b = np.asarray(sd[path_fmt.format(i) + ".bias"], np.float32)
+                bias[i] = b[perm] if (permute and perm is not None) else b
+        out = {"w8": jnp.asarray(q8), "w8_scale": jnp.asarray(sc)}
+        if has_bias:
+            out["bias"] = jnp.asarray(bias, dtype)
+        return out
+
+    def vec_stacked(path_fmt, permute=False):
+        vs = np.stack([np.asarray(sd[path_fmt.format(i)]) for i in range(L)])
+        if permute and perm is not None:
+            vs = vs[..., perm]
+        return jnp.asarray(vs, dtype)
+
+    def attn(name, q_k_permuted):
+        pre = "transformer_blocks.{}." + name
+        return {
+            "norm_q": {"weight": vec_stacked(pre + ".norm_q.weight", q_k_permuted)},
+            "norm_k": {"weight": vec_stacked(pre + ".norm_k.weight", q_k_permuted)},
+            "to_q": q_lin_stacked(pre + ".to_q", q_k_permuted),
+            "to_k": q_lin_stacked(pre + ".to_k", q_k_permuted),
+            "to_v": q_lin_stacked(pre + ".to_v"),
+            "to_out": q_lin_stacked(pre + ".to_out.0"),
+        }
+
+    blocks = {
+        "attn1": attn("attn1", rope_split),
+        "attn2": attn("attn2", False),
+        "ff": {
+            "net_0_proj": q_lin_stacked("transformer_blocks.{}.ff.net.0.proj"),
+            "net_2": q_lin_stacked("transformer_blocks.{}.ff.net.2"),
+        },
+        "scale_shift_table": vec_stacked("transformer_blocks.{}.scale_shift_table"),
+    }
+    top = _transformer_top_level(sd, dtype)
+    top["blocks"] = blocks
+    return top
 
 
 def torch_state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:

@@ -386,6 +386,10 @@ class LtxPipeline:
     # cached split-rope-permuted transformer params (keyed on identity)
     _split_params_cache: Any = dataclasses.field(default=None, repr=False)
 
+    # transformer_params were permuted IN PLACE for the split rope layout
+    # (materialize_split_rope) — the original interleaved tree is gone
+    _rope_permuted_inplace: bool = dataclasses.field(default=False, repr=False)
+
     def split_rope_params(self):
         """attn1-q/k-permuted params for the split rope layout (cached)."""
         cache = self._split_params_cache
@@ -395,6 +399,39 @@ class LtxPipeline:
             )
             self._split_params_cache = (self.transformer_params, permuted)
         return self._split_params_cache[1]
+
+    def materialize_split_rope(self):
+        """Permute attn1 q/k for the split rope layout IN PLACE, dropping
+        the original tree.
+
+        The cached-copy default (split_rope_params) holds BOTH layouts —
+        ~1.6 GiB extra at 13B (2 stacks of 48x4096x4096 int8), which is
+        exactly the margin a 16 GiB chip does not have next to the
+        12.7 GiB int8 model.  After this call the pipeline can ONLY run
+        configurations where the packed split-rope kernel carries
+        self-attention; generate() raises if dispatch would fall back
+        (the permuted q/k are wrong for the interleaved rotation)."""
+        permuted = TF.permute_params_rope_split(
+            self.transformer_params, self.config.transformer
+        )
+        self.transformer_params = permuted
+        self._split_params_cache = (permuted, permuted)
+        self._rope_permuted_inplace = True
+        return self
+
+    def mark_rope_presplit(self):
+        """Declare transformer_params ALREADY in the split-rope layout.
+
+        For params whose attn1 q/k were permuted at load
+        (``loader.transformer_params_w8_from_state_dict(rope_split=True)``
+        — host-side, free) or random payloads that need no permutation.
+        Same dispatch contract as materialize_split_rope: generate()
+        refuses configurations that would fall back to the interleaved
+        rotation."""
+        self._split_params_cache = (self.transformer_params,
+                                    self.transformer_params)
+        self._rope_permuted_inplace = True
+        return self
 
     def encode_prompt(self, prompts: Sequence[str], max_sequence_length: int = 128):
         if self.tokenizer is None or self.t5_params is None:
@@ -465,10 +502,12 @@ def check_inputs(
         )
 
 
-def _use_split_rope(pipe, tcfg, seq_len: int, attn_impl: str) -> bool:
-    """Enable the split rope layout when the packed kernel will carry
-    self-attention: TPU backend (or CVT_FORCE_SPLIT_ROPE=1 for interpret-mode
-    testing), lane-groupable dims, viable scores tile, BF16 params."""
+def split_rope_viable(tcfg, seq_len: int, attn_impl: str = "auto") -> bool:
+    """Params-independent half of the split-rope dispatch decision: will
+    the packed kernel carry self-attention at this config/seq_len on this
+    backend?  Lets loaders decide to fold the permutation in HOST-SIDE
+    (transformer_params_w8_from_state_dict(rope_split=True)) before any
+    device tree exists."""
     if attn_impl not in ("auto", "pallas"):
         return False
     if os.environ.get("CVT_DISABLE_SPLIT_ROPE"):
@@ -482,12 +521,21 @@ def _use_split_rope(pipe, tcfg, seq_len: int, attn_impl: str) -> bool:
         return False
     if tcfg.inner_dim % 128 or 128 % tcfg.attention_head_dim:
         return False
-    to_q = pipe.transformer_params["blocks"]["attn1"]["to_q"]
-    if "weight" not in to_q and "w8" not in to_q:
-        return False  # W8A8-quantized params keep the interleaved layout
     return packed_viable(
         seq_len, seq_len, tcfg.num_attention_heads, tcfg.attention_head_dim
     )
+
+
+def _use_split_rope(pipe, tcfg, seq_len: int, attn_impl: str) -> bool:
+    """Enable the split rope layout when the packed kernel will carry
+    self-attention: TPU backend (or CVT_FORCE_SPLIT_ROPE=1 for interpret-mode
+    testing), lane-groupable dims, viable scores tile, BF16 params."""
+    if not split_rope_viable(tcfg, seq_len, attn_impl):
+        return False
+    to_q = pipe.transformer_params["blocks"]["attn1"]["to_q"]
+    if "weight" not in to_q and "w8" not in to_q:
+        return False  # W8A8-quantized params keep the interleaved layout
+    return True
 
 
 def generate(
@@ -784,6 +832,14 @@ def generate(
 
         rope_split = rope_split_tables(rope_cos, rope_sin)
         t_params = pipe.split_rope_params()
+    elif pipe._rope_permuted_inplace:
+        raise ValueError(
+            "transformer_params were permuted in place for the split rope "
+            "layout (materialize_split_rope), but this configuration "
+            f"(attn_impl={attn_impl!r}, seq_len={seq_len}, pp={pp_mesh is not None}) "
+            "would not dispatch the packed split-rope kernel — the permuted "
+            "q/k projections are wrong for the interleaved rotation."
+        )
 
     # ---- STG mask -------------------------------------------------------------
     skip_mask = np.zeros((tcfg.num_layers, num_conds * eff_batch), np.float32)

@@ -245,6 +245,42 @@ def test_e2e_w8_quantized_dit(tiny_pipeline):
     assert 0 < rel < 0.05, f"w8 e2e relative deviation {rel}"
 
 
+def test_materialize_split_rope_inplace():
+    """In-place split-rope materialization (13B memory path): the permuted
+    tree replaces transformer_params (no second copy), the cache is primed,
+    and generate() REFUSES to run a config that would fall back to the
+    interleaved rotation (the permuted q/k would be silently wrong)."""
+    tcfg = TF.LtxTransformerConfig(
+        in_channels=8, out_channels=8, num_attention_heads=2,
+        attention_head_dim=64, cross_attention_dim=32, num_layers=2,
+        caption_channels=16,
+    )  # inner_dim 128 — split-layout lane grouping holds
+    full = LtxFullConfig(
+        inference=LtxInferenceConfig(), transformer=tcfg,
+        vae=V.LtxVaeConfig(**TINY_VAE),
+        scheduler=FlowMatchEulerSchedulerConfig(),
+    )
+    params = TF.init_params(jax.random.PRNGKey(0), tcfg, dtype=jnp.float32)
+    pipe = P.LtxPipeline(config=full, transformer_params=params)
+    ref = TF.permute_params_rope_split(params, tcfg)
+    pipe.materialize_split_rope()
+    assert pipe._rope_permuted_inplace
+    assert pipe.split_rope_params() is pipe.transformer_params
+    np.testing.assert_array_equal(
+        np.asarray(pipe.transformer_params["blocks"]["attn1"]["to_q"]["weight"]),
+        np.asarray(ref["blocks"]["attn1"]["to_q"]["weight"]),
+    )
+    with pytest.raises(ValueError, match="permuted in place"):
+        P.generate(
+            pipe,
+            prompt_embeds=jnp.zeros((1, 8, 16), jnp.float32),
+            prompt_attention_mask=jnp.ones((1, 8), jnp.float32),
+            height=64, width=64, num_frames=5, num_inference_steps=2,
+            guidance_scale=1.0, stg_scale=0.0, skip_block_list=[],
+            output_type="latent", attn_impl="xla",
+        )
+
+
 def test_e2e_video_output(tiny_pipeline):
     out = P.generate(
         tiny_pipeline,

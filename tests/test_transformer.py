@@ -279,6 +279,90 @@ def test_init_params_w8_runs_forward():
     assert np.isfinite(out).all()
 
 
+def _tiny_diffusers_sd(cfg, rng):
+    """Minimal diffusers-layout transformer state dict (torch [out,in])."""
+    d = cfg.inner_dim
+
+    def lin(n_out, n_in):
+        return {
+            "weight": rng.normal(size=(n_out, n_in)).astype(np.float32) * 0.05,
+            "bias": rng.normal(size=(n_out,)).astype(np.float32) * 0.01,
+        }
+
+    sd = {}
+
+    def put(prefix, p):
+        for k, v in p.items():
+            sd[f"{prefix}.{k}"] = v
+
+    put("proj_in", lin(d, cfg.in_channels))
+    put("time_embed.emb.timestep_embedder.linear_1", lin(d, 256))
+    put("time_embed.emb.timestep_embedder.linear_2", lin(d, d))
+    put("time_embed.linear", lin(6 * d, d))
+    put("caption_projection.linear_1", lin(d, cfg.caption_channels))
+    put("caption_projection.linear_2", lin(d, d))
+    sd["scale_shift_table"] = rng.normal(size=(2, d)).astype(np.float32)
+    put("proj_out", lin(cfg.out_channels, d))
+    for i in range(cfg.num_layers):
+        pre = f"transformer_blocks.{i}"
+        for attn, kv in (("attn1", d), ("attn2", cfg.cross_attention_dim)):
+            sd[f"{pre}.{attn}.norm_q.weight"] = rng.normal(
+                size=(d,)).astype(np.float32)
+            sd[f"{pre}.{attn}.norm_k.weight"] = rng.normal(
+                size=(d,)).astype(np.float32)
+            put(f"{pre}.{attn}.to_q", lin(d, d))
+            put(f"{pre}.{attn}.to_k", lin(d, kv))
+            put(f"{pre}.{attn}.to_v", lin(d, kv))
+            put(f"{pre}.{attn}.to_out.0", lin(d, d))
+        put(f"{pre}.ff.net.0.proj", lin(4 * d, d))
+        put(f"{pre}.ff.net.2", lin(d, 4 * d))
+        sd[f"{pre}.scale_shift_table"] = rng.normal(
+            size=(6, d)).astype(np.float32)
+    return sd
+
+
+def test_w8_streaming_loader_matches_dense_quantize():
+    """The streaming host-side w8 loader (the memory-scalable 13B path —
+    quantizes per layer straight off the state dict, never materializing
+    the BF16 tree) must produce BIT-IDENTICAL int8 payloads and scales to
+    loading dense then quantizing on the same f32 values; with
+    rope_split=True it must equal permuting the quantized tree."""
+    from candle_video_tpu.models.ltx_video.loader import (
+        transformer_params_from_state_dict,
+        transformer_params_w8_from_state_dict,
+    )
+
+    cfg = T.LtxTransformerConfig(
+        in_channels=8, out_channels=8, num_attention_heads=2,
+        attention_head_dim=64, cross_attention_dim=32, num_layers=2,
+        caption_channels=16,
+    )
+    sd = _tiny_diffusers_sd(cfg, np.random.default_rng(3))
+
+    dense = transformer_params_from_state_dict(sd, cfg, jnp.float32)
+    qdense = T.quantize_transformer_params_w8(dense, qblock=8)
+    stream = transformer_params_w8_from_state_dict(sd, cfg, jnp.float32,
+                                                   qblock=8)
+
+    def leaves(p):
+        flat, _ = jax.tree.flatten_with_path(p)
+        return {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+
+    a, b = leaves(qdense), leaves(stream)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    split_stream = transformer_params_w8_from_state_dict(
+        sd, cfg, jnp.float32, qblock=8, rope_split=True
+    )
+    split_ref = T.permute_params_rope_split(qdense, cfg)
+    a, b = leaves(split_ref), leaves(split_stream)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_w8a8_quality_gate_production_width():
     """W8A8 quality gate at the 2B production width (d=2048, 4d FF): the
     dynamic-activation int8 path must stay within bf16-class error of the
