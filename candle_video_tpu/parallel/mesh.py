@@ -92,9 +92,19 @@ def transformer_shardings(mesh: Mesh):
 def _prune_missing(shardings, params):
     """Drop sharding entries whose param is absent (e.g. bias-less linears)."""
     if isinstance(params, dict):
-        return {
-            k: _prune_missing(shardings[k], v) for k, v in params.items()
-        }
+        out = {}
+        for k, v in params.items():
+            if k not in shardings:
+                raise ValueError(
+                    f"no TP sharding rule for param leaf {k!r}: quantized "
+                    "trees (w8/w8_scale — weight-only int8) are a "
+                    "SINGLE-CHIP capacity path; with 2+ chips the BF16 tree "
+                    "already fits sharded (13 GiB/chip at tp=2) and runs "
+                    "~10% faster than int8 dequant. Load dense params for "
+                    "multi-chip meshes."
+                )
+            out[k] = _prune_missing(shardings[k], v)
+        return out
     return shardings
 
 

@@ -59,6 +59,19 @@ def test_make_mesh_shapes():
         make_mesh(dp=4, tp=4)
 
 
+def test_shard_w8_params_rejected(setup):
+    """Weight-only int8 trees are a single-chip capacity path; sharding one
+    must fail LOUDLY (GSPMD cannot partition the Pallas dequant matmul and
+    would silently gather) with guidance toward the BF16 TP path."""
+    cfg, params, *_ = setup
+    from candle_video_tpu.parallel import shard_transformer_params
+
+    qparams = TF.quantize_transformer_params_w8(params, qblock=4)
+    mesh = make_mesh(dp=2, tp=4)
+    with pytest.raises(ValueError, match="SINGLE-CHIP capacity path"):
+        shard_transformer_params(qparams, mesh)
+
+
 def test_tp_sharded_forward_matches_replicated(setup):
     cfg, params, hidden, enc, t, cos, sin = setup
     ref = np.asarray(
