@@ -34,7 +34,8 @@ import sys
 import time
 
 os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/candle_video_tpu_xla"),  # same dir as bench.py
 )
 
 import numpy as np  # noqa: E402
