@@ -153,9 +153,12 @@ def bench_13b_subprocess():
             line = line.strip()
             if not line.startswith("{"):
                 continue
-            rec = json.loads(line)
-            _emit(rec["metric"], float(rec["value"]), rec["unit"],
-                  rec.get("vs_baseline"))
+            try:
+                rec = json.loads(line)
+                _emit(rec["metric"], float(rec["value"]), rec["unit"],
+                      rec.get("vs_baseline"))
+            except Exception:
+                continue  # stray JSON-ish line must not drop later metrics
             emitted += 1
         if not emitted:
             raise RuntimeError(

@@ -124,6 +124,17 @@ def parse_image_spec(spec: str) -> tuple:
     return spec, 0, 1.0
 
 
+def _gen_seq_len(args, cfg) -> int:
+    """Latent sequence length of the requested generation (the dispatch
+    decisions — split-rope folding at load — need it before any tree exists)."""
+    vae_cfg = cfg.vae
+    return (
+        ((args.num_frames - 1) // vae_cfg.temporal_compression_ratio + 1)
+        * (args.height // vae_cfg.spatial_compression_ratio)
+        * (args.width // vae_cfg.spatial_compression_ratio)
+    )
+
+
 def load_pipeline(args):
     import jax.numpy as jnp
 
@@ -169,13 +180,8 @@ def load_pipeline(args):
             )
             from .models.ltx_video.pipeline import split_rope_viable
 
-            vae_cfg = cfg.vae
-            seq_len = (
-                ((args.num_frames - 1) // vae_cfg.temporal_compression_ratio + 1)
-                * (args.height // vae_cfg.spatial_compression_ratio)
-                * (args.width // vae_cfg.spatial_compression_ratio)
-            )
-            presplit = split_rope_viable(cfg.transformer, seq_len,
+            presplit = split_rope_viable(cfg.transformer,
+                                         _gen_seq_len(args, cfg),
                                          args.attn_impl)
             print("Loading DiT as weight-only int8 (W8A16"
                   f"{', split-rope folded in' if presplit else ''})")
@@ -197,6 +203,14 @@ def load_pipeline(args):
             # (26 GiB at 13B — would not fit the chip it is meant to enable)
             tparams = TF.init_params_w8(jax.random.PRNGKey(0), cfg.transformer,
                                         dtype=dtype)
+            # uniform-byte payloads are permutation-invariant: mark them
+            # split-rope laid out so generate() never caches a SECOND
+            # permuted copy of the q/k stacks (+1.6 GiB at 13B)
+            from .models.ltx_video.pipeline import split_rope_viable
+
+            rope_presplit = split_rope_viable(
+                cfg.transformer, _gen_seq_len(args, cfg), args.attn_impl
+            )
         else:
             tparams = TF.init_params(jax.random.PRNGKey(0), cfg.transformer,
                                      dtype)
@@ -241,6 +255,13 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.dit_int8 and args.mesh:
+        raise SystemExit(
+            "--dit-int8 is a single-chip capacity path and does not compose "
+            "with --mesh: with 2+ chips the BF16 tree already fits sharded "
+            "(13 GiB/chip at tp=2) and runs faster than int8 dequant — drop "
+            "--dit-int8 for multi-chip runs."
+        )
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.compilation_cache:

@@ -193,7 +193,11 @@ def transformer_params_w8_from_state_dict(
     the final ~12.7 GiB).  The device-tree path
     (``transformer_params_from_state_dict`` +
     ``transformer.quantize_transformer_params_w8``) produces bit-identical
-    payloads (tested) but requires the dense tree to fit first.
+    payloads when no dtype cast intervenes (tested at f32); with
+    ``dtype=bfloat16`` this loader quantizes the checkpoint's ORIGINAL
+    precision while the device path quantizes the bf16-cast tree — the
+    streaming payloads are strictly more accurate there.  Requires the
+    dense tree to fit for the device path; this one always fits.
 
     ``rope_split=True`` additionally folds the split-rope lane permutation
     into attn1 to_q/to_k (+ norm_q/norm_k) host-side — free, unlike the

@@ -834,11 +834,14 @@ def generate(
         t_params = pipe.split_rope_params()
     elif pipe._rope_permuted_inplace:
         raise ValueError(
-            "transformer_params were permuted in place for the split rope "
-            "layout (materialize_split_rope), but this configuration "
-            f"(attn_impl={attn_impl!r}, seq_len={seq_len}, pp={pp_mesh is not None}) "
-            "would not dispatch the packed split-rope kernel — the permuted "
-            "q/k projections are wrong for the interleaved rotation."
+            "transformer_params are in the split-rope layout (permuted at "
+            "load via transformer_params_w8_from_state_dict(rope_split=True)"
+            "/mark_rope_presplit, or in place via materialize_split_rope), "
+            f"but this configuration (attn_impl={attn_impl!r}, "
+            f"seq_len={seq_len}, pp={pp_mesh is not None}) would not "
+            "dispatch the packed split-rope kernel — the permuted q/k "
+            "projections are wrong for the interleaved rotation. Reload "
+            "without the split layout for this configuration."
         )
 
     # ---- STG mask -------------------------------------------------------------

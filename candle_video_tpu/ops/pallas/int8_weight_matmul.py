@@ -116,17 +116,19 @@ def w8_matmul(
 
 
 def quantize_int8_blockwise(w, qblock: int = QBLOCK):
-    """[K, N] float -> (w_q int8 [K, N], s f32 [K//qblock, N]) symmetric
-    per-(group-of-qblock-along-K, column) quantization."""
+    """[.., K, N] float -> (w_q int8 [.., K, N], s f32 [.., K//qblock, N])
+    symmetric per-(group-of-qblock-along-K, column) quantization.  Leading
+    dims carry stacked layers (the DiT W8A16 path quantizes [L, K, N]
+    stacks per layer through this same function)."""
     import numpy as np
 
     w = np.asarray(w, np.float32)
-    k, n = w.shape
+    k, n = w.shape[-2], w.shape[-1]
     assert k % qblock == 0
-    g = w.reshape(k // qblock, qblock, n)
-    s = np.maximum(np.abs(g).max(axis=1), 1e-12) / 127.0  # [K//qb, N]
-    q = np.clip(np.round(g / s[:, None, :]), -127, 127).astype(np.int8)
-    return q.reshape(k, n), s.astype(np.float32)
+    g = w.reshape(*w.shape[:-2], k // qblock, qblock, n)
+    s = np.maximum(np.abs(g).max(axis=-2), 1e-12) / 127.0  # [.., K//qb, N]
+    q = np.clip(np.round(g / s[..., None, :]), -127, 127).astype(np.int8)
+    return q.reshape(w.shape), s.astype(np.float32)
 
 
 def dequantize_int8_blockwise(w_q, s, qblock: int = QBLOCK):

@@ -95,14 +95,16 @@ def _prune_missing(shardings, params):
         out = {}
         for k, v in params.items():
             if k not in shardings:
-                raise ValueError(
-                    f"no TP sharding rule for param leaf {k!r}: quantized "
-                    "trees (w8/w8_scale — weight-only int8) are a "
-                    "SINGLE-CHIP capacity path; with 2+ chips the BF16 tree "
-                    "already fits sharded (13 GiB/chip at tp=2) and runs "
-                    "~10% faster than int8 dequant. Load dense params for "
-                    "multi-chip meshes."
-                )
+                if k in ("w8", "w8_scale", "weight_q", "scale"):
+                    raise ValueError(
+                        f"no TP sharding rule for quantized param leaf "
+                        f"{k!r}: int8 trees are a SINGLE-CHIP capacity "
+                        "path; with 2+ chips the BF16 tree already fits "
+                        "sharded (13 GiB/chip at tp=2) and runs ~10% "
+                        "faster than int8 dequant. Load dense params for "
+                        "multi-chip meshes."
+                    )
+                raise ValueError(f"no TP sharding rule for param leaf {k!r}")
             out[k] = _prune_missing(shardings[k], v)
         return out
     return shardings

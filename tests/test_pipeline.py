@@ -270,7 +270,7 @@ def test_materialize_split_rope_inplace():
         np.asarray(pipe.transformer_params["blocks"]["attn1"]["to_q"]["weight"]),
         np.asarray(ref["blocks"]["attn1"]["to_q"]["weight"]),
     )
-    with pytest.raises(ValueError, match="permuted in place"):
+    with pytest.raises(ValueError, match="split-rope layout"):
         P.generate(
             pipe,
             prompt_embeds=jnp.zeros((1, 8, 16), jnp.float32),

@@ -305,7 +305,9 @@ def _tiny_diffusers_sd(cfg, rng):
     put("proj_out", lin(cfg.out_channels, d))
     for i in range(cfg.num_layers):
         pre = f"transformer_blocks.{i}"
-        for attn, kv in (("attn1", d), ("attn2", cfg.cross_attention_dim)):
+        # attn2 k/v consume the PROJECTED caption states (inner_dim) — the
+        # real checkpoints' attn2.to_k/to_v are [d, d], like _param_spec
+        for attn, kv in (("attn1", d), ("attn2", d)):
             sd[f"{pre}.{attn}.norm_q.weight"] = rng.normal(
                 size=(d,)).astype(np.float32)
             sd[f"{pre}.{attn}.norm_k.weight"] = rng.normal(

@@ -154,3 +154,15 @@ def test_init_spec_materialize_backend_invariant_stream():
     again = materialize(key, spec, jnp.float32)
     np.testing.assert_array_equal(np.asarray(got["a"]["weight"]),
                                   np.asarray(again["a"]["weight"]))
+
+
+def test_cli_rejects_dit_int8_with_mesh():
+    """--dit-int8 is a single-chip capacity path: combining it with --mesh
+    must fail fast with guidance (before any weights load) — sharded BF16
+    already fits at tp>=2, and the PP/TP paths cannot carry w8 leaves."""
+    import pytest
+
+    from candle_video_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="single-chip capacity path"):
+        main(["--dit-int8", "--mesh", "pp=2"])
