@@ -4,8 +4,9 @@ The 13B LTX transformer (48 layers, 32x128 heads, d=4096 —
 reference configs.rs:151-160) is ~26 GiB in BF16: it cannot fit a single
 v5e chip (nor the reference's 12 GB RTX 3060 at any precision).  With the
 block linears quantized to int8-in-HBM (~12.7 GiB incl. scales) and dequant
-fused into the Pallas matmul k-loop (ops/pallas/int8_weight_matmul.py), the
-full model runs single-chip.  Two metrics at 512x768x97f (S=4992):
+dispatched per matmul by token count (ops/pallas/int8_weight_matmul.py:
+fused Pallas k-loop at small M, transient bf16 at DiT M), the full model
+runs single-chip.  Two metrics at 512x768x97f (S=4992):
 
 1. denoise_step_ms_13b_int8_512x768x97f — the production denoise scan
    (jitted lax.scan, 7 distilled steps, packed-kernel attention with the

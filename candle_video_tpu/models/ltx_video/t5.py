@@ -95,12 +95,12 @@ def _linear(p, x):
         # decomposition w = s[g]*q + b[g]: the s*q part rides the fused
         # int8 kernel; the per-group bias becomes a rank-G correction
         # ``groupsum(x) @ b`` (tiny: G = K/32 rows).
-        from ...ops.pallas.int8_weight_matmul import w8_matmul
+        from ...ops.pallas.int8_weight_matmul import w8_matmul_auto
 
         b, s, k = x.shape
         gs = k // p["s"].shape[0]  # group size from the scale shape (32 or 16)
         x2 = x.reshape(b * s, k)
-        y = w8_matmul(x2, p["w_q"], p["s"], out_dtype=x.dtype, qblock=gs)
+        y = w8_matmul_auto(x2, p["w_q"], p["s"], out_dtype=x.dtype, qblock=gs)
         if "b" in p:
             gsum = jnp.sum(
                 x2.astype(jnp.float32).reshape(b * s, k // gs, gs), axis=-1

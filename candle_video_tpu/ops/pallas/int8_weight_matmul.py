@@ -16,6 +16,25 @@ reference's memory semantics TPU-natively:
 
 T5 prompt encode is HBM-bandwidth-bound (M=128 tokens vs K,N up to 10240):
 halving the weight bytes roughly halves encode latency too.
+
+Execution-strategy note: the fused kernel is the right call in that
+bandwidth-bound small-M regime.  At DiT token counts (M≈5k) the matmul is
+MXU-bound and the in-VMEM dequant — re-done for every M-block revisit of a
+weight tile — is pure overhead; ``w8_matmul_xla`` dequantizes the int8
+weight into a TRANSIENT bf16 HBM buffer instead (XLA reuses one allocation
+across the layer scan; weights stay int8 at rest — the reference's own
+dequantize-per-forward semantics, quantized_t5_encoder.rs:60-71) and runs
+a stock bf16 matmul.  ``w8_matmul_auto`` dispatches on M.
+
+Measured honestly, IN-MODEL (the only number that holds up): the full 13B
+denoise step is 976 ms/step all-fused vs 963 ms/step with the auto
+dispatch (benches/bench_13b.py) — a ~1.3% win.  Standalone microbenches
+(benches/int8_mxu_exp.py) overstate the gap enormously (fused 6.98/7.76 ms
+vs xla 3.64/3.28 ms at the FF shapes): with ONE resident weight re-used
+every scan iteration they flatter whichever path streams fewer HBM bytes
+per call, while the real model streams 48 DISTINCT layer weights — a
+regime where this device is streaming-limited and the dequant choice is
+second-order (benches/profile_13b.py decomposes the real step).
 """
 
 from __future__ import annotations
@@ -113,6 +132,58 @@ def w8_matmul(
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def w8_matmul_xla(
+    x,  # [M, K] bf16/f32 activations
+    w_q,  # [K, N] int8
+    s_w,  # [K // qblock, N] f32 per-(group, column) scales
+    bias=None,  # [N]
+    out_dtype=jnp.bfloat16,
+    qblock: int = QBLOCK,
+):
+    """Transient-dequant W8A16: int8 HBM weight -> bf16 temp -> bf16 matmul.
+
+    Same dequant math as the fused kernel (int8 -> f32 * scale -> bf16 MXU
+    input, f32 accumulation), but done once per matmul through XLA instead
+    of once per (M-block, k-tile) in VMEM.  The bf16 weight exists only as a
+    per-matmul temporary; the resident copy stays int8.  Use for MXU-bound
+    shapes (large M); see module docstring.
+    """
+    k, n = w_q.shape
+    assert k % qblock == 0 and s_w.shape == (k // qblock, n), (
+        f"scales {s_w.shape} must be [{k}//{qblock}, {n}]"
+    )
+    wf = w_q.astype(jnp.float32).reshape(k // qblock, qblock, n)
+    wf = (wf * s_w[:, None, :].astype(jnp.float32)).reshape(k, n)
+    out = jnp.dot(
+        x.astype(jnp.bfloat16), wf.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+# Below this token count the matmul is HBM-bandwidth-bound and the fused
+# kernel's int8-only weight traffic wins; above it the MXU-bound transient-
+# dequant path runs at full bf16 speed (benches/int8_mxu_exp.py).
+W8_XLA_MIN_M = 1024
+
+
+def w8_matmul_auto(x, w_q, s_w, bias=None, out_dtype=jnp.bfloat16,
+                   qblock: int = QBLOCK, **pallas_kwargs):
+    """Dispatch W8A16 by regime: fused Pallas kernel for small M (weight-
+    bandwidth-bound, e.g. T5's 128-token encode), transient XLA dequant for
+    large M (MXU-bound, e.g. DiT's ~5k video tokens)."""
+    if x.shape[0] >= W8_XLA_MIN_M:
+        return w8_matmul_xla(
+            x, w_q, s_w, bias=bias, out_dtype=out_dtype, qblock=qblock
+        )
+    return w8_matmul(
+        x, w_q, s_w, bias=bias, out_dtype=out_dtype, qblock=qblock,
+        **pallas_kwargs,
+    )
 
 
 def quantize_int8_blockwise(w, qblock: int = QBLOCK):

@@ -288,3 +288,74 @@ def test_kquant_stacked_forward(tmp_path, rng):
     # agreement is at bf16 rounding level, not bit-exact (params verified
     # identical leaf-by-leaf in both layouts)
     np.testing.assert_allclose(b, a, atol=5e-3, rtol=2e-2)
+
+
+def test_w8_matmul_xla_matches_pallas(rng):
+    """Transient-dequant XLA path == fused kernel == dequant oracle (both
+    round the dequantized weight to bf16 before the MXU)."""
+    from candle_video_tpu.ops.pallas.int8_weight_matmul import (
+        w8_matmul_xla,
+    )
+
+    m, k, n = 48, 256, 96
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w = (rng.normal(size=(k, n)) * 0.05).astype(np.float32)
+    bias = rng.normal(size=(n,)).astype(np.float32)
+    w_q, s = quantize_int8_blockwise(w)
+    ref = x @ dequantize_int8_blockwise(w_q, s) + bias
+    got = np.asarray(
+        w8_matmul_xla(
+            jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(s),
+            bias=jnp.asarray(bias), out_dtype=jnp.float32,
+        ),
+        np.float32,
+    )
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2
+    fused = np.asarray(
+        w8_matmul(
+            jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(s),
+            bias=jnp.asarray(bias), out_dtype=jnp.float32,
+        ),
+        np.float32,
+    )
+    # same dequant->bf16->f32-accum math; only k-blocking order differs
+    np.testing.assert_allclose(got, fused, atol=1e-2, rtol=1e-2)
+
+
+def test_w8_matmul_auto_dispatches_by_m(rng):
+    """auto == xla result at large M, == pallas result at small M (and all
+    three agree numerically anyway)."""
+    from candle_video_tpu.ops.pallas.int8_weight_matmul import (
+        W8_XLA_MIN_M,
+        w8_matmul_auto,
+        w8_matmul_xla,
+    )
+
+    k, n = 128, 64
+    w = (rng.normal(size=(k, n)) * 0.05).astype(np.float32)
+    w_q, s = quantize_int8_blockwise(w)
+    for m in (8, W8_XLA_MIN_M):
+        x = rng.normal(size=(m, k)).astype(np.float32)
+        got = np.asarray(
+            w8_matmul_auto(jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(s),
+                           out_dtype=jnp.float32), np.float32)
+        ref = np.asarray(
+            w8_matmul_xla(jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(s),
+                          out_dtype=jnp.float32), np.float32)
+        np.testing.assert_allclose(got, ref, atol=1e-2, rtol=1e-2)
+
+
+def test_w8_matmul_xla_qblock16(rng):
+    m, k, n = 16, 96, 64
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w = (rng.normal(size=(k, n)) * 0.05).astype(np.float32)
+    from candle_video_tpu.ops.pallas.int8_weight_matmul import w8_matmul_xla
+
+    w_q, s = quantize_int8_blockwise(w, qblock=16)
+    ref = x @ dequantize_int8_blockwise(w_q, s, qblock=16)
+    got = np.asarray(
+        w8_matmul_xla(jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(s),
+                      out_dtype=jnp.float32, qblock=16),
+        np.float32,
+    )
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2
