@@ -245,10 +245,12 @@ def main():
     def e2e():
         # T5-XXL int8 stays RESIDENT through the whole generation (reference
         # semantics: the GGUF encoder lives in device memory).  The decode
-        # runs UNTILED with an exact halo-chunked tail (tail_t_chunks=2):
-        # measured decode temp drops 7.1 -> 4.3 GiB, so 5.1 GiB T5 +
-        # 3.9 GiB DiT + the full-frame decode fit the 16 GiB chip together
-        # (round-2 had to fall back to tiled decode here, ~1.5 s slower).
+        # runs UNTILED with the exact STREAMING tail (2 overlap-save chunks,
+        # zero recompute — 29 ms faster than the halo-chunked tail it
+        # replaces and a lower peak: per-chunk ~50 frames vs halo's 74), so
+        # 5.1 GiB T5 + 3.9 GiB DiT + the full-frame decode fit the 16 GiB
+        # chip together (round-2 had to fall back to tiled decode, ~1.5 s
+        # slower).
         emb = t5_fwd(t5_params, ids, pos_bias)
         return P.generate(
             pipe,
@@ -259,7 +261,7 @@ def main():
             num_frames=97,
             output_type="tensor",
             use_pcg_rng=False,
-            vae_tail_t_chunks=2,
+            vae_tail_stream_chunks=2,
         )
 
     e2e_s, video = _timed_best(e2e, fetch, n=2)

@@ -14,11 +14,13 @@ runs single-chip.  Two metrics at 512x768x97f (S=4992):
 2. e2e_s_13b_int8_512x768x97f — full generate(): denoise -> VAE decode ->
    uint8 video, with STAGED memory: the 5.1 GiB T5-XXL int8 encodes the
    prompt FIRST and is freed before the 12.7 GiB DiT materializes (both
-   resident would exceed the chip), and the decode runs the reference's
-   tiled path (256px tiles / 192px stride — the 13B-resident budget leaves
-   ~2 GiB for decode temps, below the untiled 4.3 GiB halo-chunked floor;
-   tiling is exactly what the reference's 12 GB card does for EVERY decode,
-   vae.rs:2158-2290).
+   resident would exceed the chip), and the decode runs FULL-FRAME next to
+   the resident DiT via the exact overlap-save stream split before the
+   last upsampler (dense half-resolution prefix + 6 streamed
+   upsampler+tail chunks, zero recompute, ~1.5 GiB peak — vae.py
+   decoder_ups_tail_stream_cl), with the reference's spatially-tiled path
+   (256px tiles, vae.rs:2158-2290) as an automatic fallback if the
+   streaming compile ever exceeds the budget.
 
 Weights are random (direct-int8 device init — real checkpoints quantize at
 load via transformer.quantize_transformer_params_w8); compute cost is
@@ -183,7 +185,12 @@ def main():
 
     mask = jnp.ones((1, 128), jnp.float32)
 
-    def e2e():
+    def e2e_stream():
+        # FULL-FRAME decode next to the 12.7 GiB DiT via the exact
+        # overlap-save stream split BEFORE the last upsampler: the dense
+        # prefix runs at half resolution (~4x smaller peak than the full
+        # head, whose 2.2 GiB OOM'd here), then the last upsampler + tail
+        # stream in 6 zero-recompute chunks (~1.5 GiB decode peak).
         return P.generate(
             pipe,
             prompt_embeds=enc_staged,
@@ -191,22 +198,43 @@ def main():
             height=512, width=768, num_frames=97,
             output_type="tensor",
             use_pcg_rng=False,
-            # 12.7 GiB resident leaves ~2 GiB for decode temps — below the
-            # 4.3 GiB untiled halo-chunked floor, so decode tiles (the
-            # reference's own memory answer, at smaller tiles)
+            vae_tail_stream_chunks=6,
+            vae_tail_stream_from_ups=True,
+        )
+
+    def e2e_tiled():
+        return P.generate(
+            pipe,
+            prompt_embeds=enc_staged,
+            prompt_attention_mask=mask,
+            height=512, width=768, num_frames=97,
+            output_type="tensor",
+            use_pcg_rng=False,
+            # fallback memory answer: the reference's spatial tiling at
+            # smaller tiles (12 x [13,8,8] latent, ~1.2 GiB temp each);
+            # temporal tiling at 13 latent frames would fragment the decode
+            # into ~48 tiny programs
             use_vae_tiling=True,
             vae_tiling=V.TilingConfig(
                 tile_sample_min_height=256, tile_sample_min_width=256,
                 tile_sample_stride_height=192, tile_sample_stride_width=192,
-                # full-T spatial tiles (12 x [13,8,8] latent, ~1.2 GiB temp
-                # each); temporal tiling at 13 latent frames would fragment
-                # the decode into ~48 tiny programs
                 tile_sample_min_num_frames=104,
             ),
         )
 
-    out = e2e()
-    np.asarray(out[0, 0, 0, 0, :1])
+    e2e = e2e_stream
+    try:
+        out = e2e()
+        np.asarray(out[0, 0, 0, 0, :1])
+    except Exception as exc:  # noqa: BLE001 — OOM falls back to tiling
+        log(f"streaming decode failed ({type(exc).__name__}); tiled fallback")
+        import gc
+
+        out = None
+        gc.collect()  # release the failed attempt's device buffers first
+        e2e = e2e_tiled
+        out = e2e()
+        np.asarray(out[0, 0, 0, 0, :1])
     log("e2e compiled + first run done")
     best = float("inf")
     for _ in range(2):

@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode batch elements one at a time (vae.rs slicing)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (reference --cpu flag)")
+    p.add_argument("--vae-stream-chunks", type=int, default=0,
+                   help="decode with the exact streaming tail in N temporal "
+                        "chunks (overlap-save conv caches, zero recompute): "
+                        "O(chunk) decode memory at unchunked cost")
     p.add_argument("--vae-tiling", action="store_true",
                    help="enable spatial+temporal VAE tiling (off by default: "
                         "one v5e chip decodes 512x768x97f untiled)")
@@ -392,6 +396,7 @@ def main(argv=None) -> int:
             attn_impl=args.attn_impl,
             use_vae_tiling=args.vae_tiling,
             use_vae_slicing=args.vae_slicing,
+            vae_tail_stream_chunks=args.vae_stream_chunks,
             step_callback=None if pp_kwargs else step_callback,
             **pp_kwargs,
             **kwargs,

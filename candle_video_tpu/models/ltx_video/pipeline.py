@@ -575,6 +575,8 @@ def generate(
     use_vae_tiling: bool = False,
     use_vae_slicing: bool = False,
     vae_tail_t_chunks: int = 1,  # exact halo-chunked decoder tail (memory)
+    vae_tail_stream_chunks: int = 0,  # exact streaming tail (overlap-save)
+    vae_tail_stream_from_ups: bool = False,  # stream from the last upsampler
     decode_fn=None,
     step_callback=None,
     pp_mesh=None,  # jax.sharding.Mesh with a 'pp' axis: pipeline-parallel mode
@@ -991,5 +993,7 @@ def generate(
         use_slicing=use_vae_slicing,
         decode_fn=decode_fn,
         tail_t_chunks=vae_tail_t_chunks,
+        tail_stream_chunks=vae_tail_stream_chunks,
+        tail_stream_from_ups=vae_tail_stream_from_ups,
     )
     return postprocess_video(video)

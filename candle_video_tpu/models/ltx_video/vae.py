@@ -576,6 +576,391 @@ def decoder_tail_forward_cl(params, cfg: LtxVaeConfig, h, temb=None,
     return jnp.transpose(h, (0, 4, 1, 2, 3))
 
 
+# ---------------------------------------------------------------------------
+# streaming tail (overlap-save): exact chunked decode with ZERO recompute
+#
+# The halo-chunked tail (tail_chunk_bounds below) reprocesses `halo` frames
+# per chunk boundary; for small chunks the halo dominates (22 extra frames
+# per chunk at the production tail).  The streaming tail instead carries each
+# temporal conv's last (kt-1) INPUT frames as explicit state between chunks
+# (overlap-save), so every frame is convolved exactly once: identical math
+# to the unchunked tail, O(chunk) activation memory in T, and chunk count
+# free of compute overhead — this is what lets the 13B-resident chip decode
+# full frames instead of spatial tiles, and decodes unbounded-length video
+# in constant memory (the reference's temporal tiling BLENDS overlaps,
+# vae.rs:1927-2434 — approximate; this is exact).
+#
+# Stream calculus (symmetric kt=3, replicate edges, the decoder's config —
+# decoder_causal=False): a conv consuming chunk frames [a, b) with cached
+# inputs [a-2, a) emits outputs [a-1, b-1) — a 1-frame pipeline delay.  The
+# first chunk substitutes one replicated frame for the cache (emits t-1);
+# the last chunk appends one replicated frame and flushes (emits t+1).
+# Residual adds re-align via a pure 2-frame delay register on the shortcut.
+# Three programs total (first/mid/last), each jitted once per shape.
+# ---------------------------------------------------------------------------
+
+
+def _conv_stream_cl(p, x, cache, mode):
+    """Streaming symmetric kt=3 conv (channels-last).  ``x`` [B,t,H,W,C] is
+    the new input chunk, ``cache`` [B,2,H,W,C] the carried last-2 input
+    frames (ignored when mode starts the stream).  Returns (y, new_cache);
+    y has t-1 / t / t+1 frames for first/mid/last."""
+    first = mode in ("first", "single")
+    last = mode in ("last", "single")
+    base = x if first else jnp.concatenate([cache, x], axis=1)
+    if first:
+        # left edge: replicate pad 1 frame ((kt-1)//2, conv3d.py:196)
+        xin = jnp.concatenate([base[:, :1], base], axis=1)
+    else:
+        xin = base
+    if last:
+        xin = jnp.concatenate([xin, xin[:, -1:]], axis=1)
+    y = causal_conv3d_cl(xin, p["weight"], p.get("bias"), time_pad="valid")
+    new_cache = None if last else base[:, -2:]
+    return y, new_cache
+
+
+def _delay_stream(x, cache, n: int, mode):
+    """Pure n-frame delay register: emits the stream shifted n frames later
+    so pointwise branches re-align with conv-delayed branches."""
+    first = mode in ("first", "single")
+    last = mode in ("last", "single")
+    buf = x if first else jnp.concatenate([cache, x], axis=1)
+    if last:
+        return buf, None
+    return buf[:, : buf.shape[1] - n], buf[:, -n:]
+
+
+def _resnet_stream_cl(p, cfg, x, st, mode, temb2=None, noise_key=None):
+    """Streaming twin of _resnet_block_cl: two conv delays (1 frame each)
+    plus a 2-frame shortcut delay.  State: {"c1","c2","sc"}."""
+    h = _rms_norm_cl(x, 1e-8)
+    if p.get("scale_shift_table") is not None and temb2 is not None:
+        tbl = p["scale_shift_table"]
+        b = temb2.shape[0]
+        c = tbl.shape[1]
+        t = temb2.reshape(b, 4, c) + tbl[None].astype(temb2.dtype)
+        t = t[:, :, None, None, None, :]
+        shift1, scale1, shift2, scale2 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
+    else:
+        shift1 = scale1 = shift2 = scale2 = None
+
+    if shift1 is not None:
+        h = h * (1.0 + scale1.astype(h.dtype)) + shift1.astype(h.dtype)
+    h = silu(h)
+    h, c1 = _conv_stream_cl(p["conv1"], h, st["c1"], mode)
+
+    if p.get("per_channel_scale1") is not None and noise_key is not None:
+        # [H, W] spatial noise shared across T (vae.rs:741-753): identical
+        # per chunk as long as every chunk replays the same key; the split
+        # sequence mirrors _resnet_block_cl exactly
+        noise_key, sub = jax.random.split(noise_key)
+        noise = jax.random.normal(sub, h.shape[2:4], h.dtype)
+        h = h + noise[None, None, :, :, None] * p["per_channel_scale1"].astype(
+            h.dtype
+        ).reshape(1, 1, 1, 1, -1)
+
+    h = _rms_norm_cl(h, 1e-8)
+    if shift2 is not None:
+        h = h * (1.0 + scale2.astype(h.dtype)) + shift2.astype(h.dtype)
+    h = silu(h)
+    h, c2 = _conv_stream_cl(p["conv2"], h, st["c2"], mode)
+
+    if p.get("per_channel_scale2") is not None and noise_key is not None:
+        noise_key, sub = jax.random.split(noise_key)
+        noise = jax.random.normal(sub, h.shape[2:4], h.dtype)
+        h = h + noise[None, None, :, :, None] * p["per_channel_scale2"].astype(
+            h.dtype
+        ).reshape(1, 1, 1, 1, -1)
+
+    shortcut = x
+    if p.get("norm3") is not None:
+        shortcut = _layer_norm_cl(
+            shortcut, cfg.resnet_eps, p["norm3"].get("weight"),
+            p["norm3"].get("bias"),
+        )
+    elif p.get("conv_shortcut") is not None:
+        shortcut = _layer_norm_cl(shortcut, cfg.resnet_eps)
+    if p.get("conv_shortcut") is not None:
+        # 1x1x1 conv: pointwise in T, no cache needed
+        shortcut = _conv_cl(p["conv_shortcut"], shortcut, causal=False)
+    shortcut, sc = _delay_stream(shortcut, st["sc"], 2, mode)
+    return h + shortcut, {"c1": c1, "c2": c2, "sc": sc}
+
+
+def _upsampler_stream_cl(p, x, stt, stride, residual: bool,
+                         channel_repeats: int, mode):
+    """Streaming twin of _upsampler_cl.  The conv path delays 1 input
+    frame; the depth-to-space residual is pointwise per input frame, so it
+    re-aligns through a 1-frame delay register.  The global ``st-1`` output
+    crop applies only at the stream start.  State: {"conv", "res"}."""
+    st, sh, sw = stride
+    y, c_conv = _conv_stream_cl(p["conv"], x, stt["conv"], mode)
+    res = None
+    c_delay = stt.get("res")  # keep state structure stable when residual off
+    if residual:
+        xd, c_delay = _delay_stream(x, stt["res"], 1, mode)
+        res = _depth_to_space_cl(xd, st, sh, sw)
+        if channel_repeats > 1:
+            res = jnp.tile(res, (1, 1, 1, 1, channel_repeats))
+    h = _depth_to_space_cl(y, st, sh, sw)
+    if res is not None:
+        h = h + res
+    if st > 1 and mode in ("first", "single"):
+        h = h[:, st - 1 :]
+    return h, {"conv": c_conv, "res": c_delay}
+
+
+def head_stream_init(params, cfg: LtxVaeConfig, b: int, hgt: int, wid: int,
+                     dtype):
+    """Zero-filled carried state for decoder_head_stream_cl at LATENT
+    spatial size (hgt, wid).  Cache shapes follow the head's geometry:
+    conv_in caches the latent-width input; each up block doubles H/W (and
+    its conv cache sits at the PRE-upsample resolution)."""
+    boc, sts, upr, upf = _decoder_geometry(cfg)
+
+    def cache(t, h_, w_, c):
+        return jnp.zeros((b, t, h_, w_, c), dtype)
+
+    def res_state(c, h_, w_):
+        return {"c1": cache(2, h_, w_, c), "c2": cache(2, h_, w_, c),
+                "sc": cache(2, h_, w_, c)}
+
+    state = {
+        "conv_in": cache(2, hgt, wid, params["conv_in"]["weight"].shape[1]),
+        "mid": [res_state(boc[0], hgt, wid)
+                for _ in params["mid_block"]["resnets"]],
+        "up": [],
+    }
+    h_, w_ = hgt, wid
+    n_up = len(params["up_blocks"])
+    for i, bp in enumerate(params["up_blocks"]):
+        in_ch = boc[i]
+        out_ch = boc[i] // upf[i]
+        up_state = {
+            "ups": {"conv": cache(2, h_, w_, in_ch),
+                    "res": cache(1, h_, w_, in_ch)},
+            "resnets": [],
+        }
+        h_, w_ = h_ * 2, w_ * 2
+        if i < n_up - 1:
+            up_state["resnets"] = [
+                res_state(out_ch, h_, w_) for _ in bp["resnets"]
+            ]
+        state["up"].append(up_state)
+    return state
+
+
+def decoder_head_stream_cl(params, cfg: LtxVaeConfig, z, state, mode,
+                           temb=None, noise_key=None):
+    """One streaming step of the channels-last decoder HEAD: ``z`` is the
+    next [B,latent,t,H',W'] chunk of latent frames (NCDHW like
+    decoder_head_forward_cl); returns (h_chunk [B,T,H,W,C], new_state).
+
+    Composing with decoder_tail_stream_cl makes the WHOLE decode O(chunk)
+    in T: every temporal conv in the network carries overlap-save state, so
+    clip length is unbounded at constant activation memory, exactly.
+    """
+    if cfg.decoder_causal:
+        raise NotImplementedError(
+            "streaming decode assumes the symmetric (non-causal) decoder"
+        )
+    dtype = params["conv_in"]["weight"].dtype
+    h = jnp.transpose(z.astype(dtype), (0, 2, 3, 4, 1))
+    new = {"mid": [], "up": []}
+
+    h, new["conv_in"] = _conv_stream_cl(
+        params["conv_in"], h, state["conv_in"], mode
+    )
+    temb_scaled = _temb_scaled(params, temb)
+
+    mid = params["mid_block"]
+    mt = _block_temb_flat(mid, temb_scaled, dtype)
+    for rp, st in zip(mid["resnets"], state["mid"]):
+        h, ns = _resnet_stream_cl(rp, cfg, h, st, mode, mt, noise_key)
+        new["mid"].append(ns)
+
+    boc, sts, upr, upf = _decoder_geometry(cfg)
+    n_up = len(params["up_blocks"])
+    for i, bp in enumerate(params["up_blocks"]):
+        out_ch = boc[i] // upf[i]
+        ut = _block_temb_flat(bp, temb_scaled, dtype)
+        stride = (2, 2, 2) if sts[i] else (1, 2, 2)
+        in_ch = out_ch * upf[i]
+        channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
+        up_new = {"resnets": []}
+        h, up_new["ups"] = _upsampler_stream_cl(
+            bp["upsamplers"][0], h, state["up"][i]["ups"], stride, upr[i],
+            channel_repeats, mode,
+        )
+        if i < n_up - 1:
+            for rp, st in zip(bp["resnets"], state["up"][i]["resnets"]):
+                h, ns = _resnet_stream_cl(rp, cfg, h, st, mode, ut, noise_key)
+                up_new["resnets"].append(ns)
+        new["up"].append(up_new)
+    return h, new
+
+
+def decoder_head_pre_ups_forward_cl(params, cfg: LtxVaeConfig, z, temb=None,
+                                    noise_key=None):
+    """decoder_head_forward_cl STOPPING before the last up-block's
+    upsampler: everything here runs at <= half the final resolution, so its
+    activation peak is ~4x smaller than the full head's.  Pairs with
+    decoder_ups_tail_stream_cl, which streams the remaining (memory-
+    dominant) last upsampler + tail."""
+    causal = cfg.decoder_causal
+    dtype = params["conv_in"]["weight"].dtype
+    h = jnp.transpose(z.astype(dtype), (0, 2, 3, 4, 1))
+
+    h = _conv_cl(params["conv_in"], h, causal=causal)
+    temb_scaled = _temb_scaled(params, temb)
+
+    mid = params["mid_block"]
+    mt = _block_temb_flat(mid, temb_scaled, dtype)
+    for rp in mid["resnets"]:
+        h = _resnet_block_cl(rp, cfg, h, mt, causal=causal, noise_key=noise_key)
+
+    boc, sts, upr, upf = _decoder_geometry(cfg)
+    n_up = len(params["up_blocks"])
+    for i, bp in enumerate(params["up_blocks"]):
+        if i == n_up - 1:
+            break  # the last upsampler + resnets stream with the tail
+        out_ch = boc[i] // upf[i]
+        ut = _block_temb_flat(bp, temb_scaled, dtype)
+        stride = (2, 2, 2) if sts[i] else (1, 2, 2)
+        in_ch = out_ch * upf[i]
+        channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
+        h = _upsampler_cl(
+            bp["upsamplers"][0], h, stride, upr[i], channel_repeats, causal=causal
+        )
+        for rp in bp["resnets"]:
+            h = _resnet_block_cl(rp, cfg, h, ut, causal=causal,
+                                 noise_key=noise_key)
+    return h
+
+
+def _last_ups_geometry(params, cfg: LtxVaeConfig):
+    boc, sts, upr, upf = _decoder_geometry(cfg)
+    i = len(params["up_blocks"]) - 1
+    out_ch = boc[i] // upf[i]
+    stride = (2, 2, 2) if sts[i] else (1, 2, 2)
+    in_ch = out_ch * upf[i]
+    channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
+    return stride, upr[i], channel_repeats, in_ch
+
+
+def ups_tail_stream_init(params, cfg: LtxVaeConfig, b: int, hgt: int,
+                         wid: int, dtype):
+    """State for decoder_ups_tail_stream_cl; (hgt, wid) are the
+    PRE-upsample spatial dims (half the tail's)."""
+    _, _, _, in_ch = _last_ups_geometry(params, cfg)
+    return {
+        "ups": {
+            "conv": jnp.zeros((b, 2, hgt, wid, in_ch), dtype),
+            "res": jnp.zeros((b, 1, hgt, wid, in_ch), dtype),
+        },
+        "tail": tail_stream_init(params, b, hgt * 2, wid * 2, dtype),
+    }
+
+
+def ups_tail_first_chunk_min(params, cfg: LtxVaeConfig) -> int:
+    """Smallest first chunk (in pre-upsample frames) that clears the last
+    upsampler + tail pipeline fill."""
+    stride, _, _, _ = _last_ups_geometry(params, cfg)
+    st = stride[0]
+    delay = tail_stream_delay(params)
+    m = 2
+    while st * (m - 1) - (st - 1) <= delay:
+        m += 1
+    return m
+
+
+def decoder_ups_tail_stream_cl(params, cfg: LtxVaeConfig, h, state, mode,
+                               temb=None, noise_key=None):
+    """Streaming step over the LAST upsampler + tail (channels-last).
+    Takes chunks of decoder_head_pre_ups_forward_cl's output; the
+    upsampler doubles the stream temporally before the tail consumes it,
+    so decode peak memory is bounded by ~2x chunk at tail resolution."""
+    bp = params["up_blocks"][-1]
+    stride, residual, channel_repeats, _ = _last_ups_geometry(params, cfg)
+    h, ups_new = _upsampler_stream_cl(
+        bp["upsamplers"][0], h, state["ups"], stride, residual,
+        channel_repeats, mode,
+    )
+    v, tail_new = decoder_tail_stream_cl(
+        params, cfg, h, state["tail"], mode, temb, noise_key
+    )
+    return v, {"ups": ups_new, "tail": tail_new}
+
+
+def tail_stream_delay(params) -> int:
+    """Total pipeline delay of the streaming tail in input frames: 2 per
+    resnet (two kt=3 convs) + 1 for conv_out."""
+    return 2 * len(params["up_blocks"][-1]["resnets"]) + 1
+
+
+def tail_stream_init(params, b: int, hgt: int, wid: int, dtype):
+    """Zero-filled carried state for decoder_tail_stream_cl (contents are
+    ignored on the first chunk; shapes must match the tail's width)."""
+    c = params["conv_out"]["weight"].shape[1]  # tail channel width
+
+    def cache():
+        return jnp.zeros((b, 2, hgt, wid, c), dtype)
+
+    return {
+        "resnets": [
+            {"c1": cache(), "c2": cache(), "sc": cache()}
+            for _ in params["up_blocks"][-1]["resnets"]
+        ],
+        "out": cache(),
+    }
+
+
+def decoder_tail_stream_cl(params, cfg: LtxVaeConfig, h, state, mode,
+                           temb=None, noise_key=None):
+    """One streaming step of the channels-last decoder tail.
+
+    ``h`` [B,t,H,W,C] is the next chunk of the head's output stream;
+    ``mode`` is "first" / "mid" / "last" / "single".  Returns
+    (video_chunk NCDHW, new_state); the chunk has (t-delay) / t /
+    (t+delay) frames for first/mid/last.  Requires t >= 2 (conv caches)
+    and, for the first chunk, t > tail_stream_delay(params).
+    """
+    if cfg.decoder_causal:
+        raise NotImplementedError(
+            "streaming tail assumes the symmetric (non-causal) decoder "
+            "padding; decoder_causal configs use tail_t_chunks halo mode"
+        )
+    dtype = params["conv_in"]["weight"].dtype
+    temb_scaled = _temb_scaled(params, temb)
+
+    bp = params["up_blocks"][-1]
+    ut = _block_temb_flat(bp, temb_scaled, dtype)
+    new_res = []
+    for rp, st in zip(bp["resnets"], state["resnets"]):
+        h, ns = _resnet_stream_cl(rp, cfg, h, st, mode, ut, noise_key)
+        new_res.append(ns)
+
+    h = _rms_norm_cl(h, 1e-8)
+    if (
+        temb_scaled is not None
+        and params.get("time_embedder") is not None
+        and params.get("scale_shift_table") is not None
+    ):
+        e = _time_embedder(params["time_embedder"], temb_scaled, dtype)
+        c = params["scale_shift_table"].shape[1]
+        e = e.reshape(-1, 2, c) + params["scale_shift_table"][None].astype(dtype)
+        shift = e[:, 0][:, None, None, None, :]
+        scale = e[:, 1][:, None, None, None, :]
+        h = h * (1.0 + scale) + shift
+
+    h = silu(h)
+    h, c_out = _conv_stream_cl(params["conv_out"], h, state["out"], mode)
+    h = _unpatchify_cl(h, cfg.patch_size, cfg.patch_size_t)
+    video = jnp.transpose(h, (0, 4, 1, 2, 3))
+    return video, {"resnets": new_res, "out": c_out}
+
+
 def tail_chunk_bounds(params, cfg: LtxVaeConfig, t_total: int,
                       tail_t_chunks: int):
     """Exact halo accounting for the chunked tail: each tail resnet has 2
@@ -602,8 +987,157 @@ def _use_channels_last(channels_last=None) -> bool:
     return os.environ.get("CVT_DECODER_LAYOUT", "cl") != "ncdhw"
 
 
+def fullstream_first_chunk_min(params, cfg: LtxVaeConfig) -> int:
+    """Smallest first-chunk latent frame count for which every stage of the
+    head+tail streaming pipeline emits >= 1 frame on the first chunk (each
+    conv swallows 1 frame of pipeline fill; temporal upsamplers double the
+    stream and crop st-1)."""
+    boc, sts, upr, upf = _decoder_geometry(cfg)
+    n_up = len(params["up_blocks"])
+
+    def min_count(m: int) -> int:
+        c = m - 1  # conv_in
+        counts = [c]
+        for _ in params["mid_block"]["resnets"]:
+            c -= 2
+            counts.append(c)
+        for i, bp in enumerate(params["up_blocks"]):
+            st = 2 if sts[i] else 1
+            c = st * (c - 1) - (st - 1)
+            counts.append(c)
+            if i < n_up - 1:
+                for _ in bp["resnets"]:
+                    c -= 2
+                    counts.append(c)
+        for _ in params["up_blocks"][-1]["resnets"]:
+            c -= 2
+            counts.append(c)
+        counts.append(c - 1)  # conv_out
+        return min(counts)
+
+    m = 2
+    while min_count(m) < 1:
+        m += 1
+    return m
+
+
+def decoder_forward_fullstream(params, cfg: LtxVaeConfig, z, temb=None,
+                               noise_key=None, n_chunks: int = 2,
+                               head_fn=None, tail_fn=None):
+    """FULLY streamed decode: latent chunks flow through the streaming head
+    AND streaming tail, so activation memory is O(chunk) at every stage —
+    clip length is unbounded, exactly (no halo recompute, no tile blending).
+    Requires first latent chunk >= fullstream_first_chunk_min (pipeline
+    fill); at 97f/13-latent-frame clips use the head-once + streamed-tail
+    path (decoder_forward(tail_stream_chunks=...)) instead.
+    ``head_fn``/``tail_fn`` optionally substitute jitted step programs."""
+    t_total = z.shape[2]
+    spans = stream_spans(t_total, n_chunks)
+    need = fullstream_first_chunk_min(params, cfg)
+    if len(spans) > 1 and spans[0][1] - spans[0][0] < need:
+        raise ValueError(
+            f"full-stream first chunk {spans[0][1] - spans[0][0]} latent "
+            f"frames < pipeline fill {need}; use fewer chunks (or the "
+            f"tail-only streaming mode)"
+        )
+    dtype = params["conv_in"]["weight"].dtype
+    b, _, _, hl, wl = z.shape
+    up_factor = 2 ** len(params["up_blocks"])
+    hstate = head_stream_init(params, cfg, b, hl, wl, dtype)
+    tstate = tail_stream_init(params, b, hl * up_factor, wl * up_factor,
+                              dtype)
+    hstep = head_fn or (
+        lambda zz, st, mode: decoder_head_stream_cl(
+            params, cfg, zz, st, mode, temb, noise_key
+        )
+    )
+    tstep = tail_fn or (
+        lambda hh, st, mode: decoder_tail_stream_cl(
+            params, cfg, hh, st, mode, temb, noise_key
+        )
+    )
+    outs = []
+    for i, (a, bnd) in enumerate(spans):
+        mode = _stream_mode(i, len(spans))
+        hc, hstate = hstep(z[:, :, a:bnd], hstate, mode)
+        vc, tstate = tstep(hc, tstate, mode)
+        outs.append(vc)
+    return jnp.concatenate(outs, axis=2)
+
+
+def stream_spans(t_total: int, n_chunks: int):
+    """Uniform chunk spans [(start, end), ...] for the streaming tail."""
+    per = max(-(-t_total // n_chunks), 1)
+    return [(s, min(s + per, t_total)) for s in range(0, t_total, per)]
+
+
+def _stream_mode(i: int, n: int) -> str:
+    if n == 1:
+        return "single"
+    return "first" if i == 0 else ("last" if i == n - 1 else "mid")
+
+
+def decoder_tail_streamed(params, cfg: LtxVaeConfig, h, temb=None,
+                          noise_key=None, n_chunks: int = 2, tail_fn=None):
+    """Run the channels-last tail over ``n_chunks`` streaming steps
+    (overlap-save, zero recompute — see decoder_tail_stream_cl).  ``h`` is
+    the head's [B,T,H,W,C] output; returns NCDHW video.  ``tail_fn``
+    optionally substitutes a jitted (params, h, state, temb, mode) step."""
+    t_total = h.shape[1]
+    spans = stream_spans(t_total, n_chunks)
+    delay = tail_stream_delay(params)
+    if len(spans) > 1 and spans[0][1] - spans[0][0] <= delay:
+        raise ValueError(
+            f"streaming tail chunk size {spans[0][1] - spans[0][0]} must "
+            f"exceed the pipeline delay {delay}; use fewer chunks"
+        )
+    state = tail_stream_init(params, h.shape[0], h.shape[2], h.shape[3],
+                             h.dtype)
+    step = tail_fn or (
+        lambda p, hh, st, tt, mode: decoder_tail_stream_cl(
+            p, cfg, hh, st, mode, tt, noise_key
+        )
+    )
+    outs = []
+    for i, (a, b) in enumerate(spans):
+        mode = _stream_mode(i, len(spans))
+        piece, state = step(params, h[:, a:b], state, temb, mode)
+        outs.append(piece)
+    return jnp.concatenate(outs, axis=2)
+
+
+def decoder_ups_tail_streamed(params, cfg: LtxVaeConfig, h, temb=None,
+                              noise_key=None, n_chunks: int = 4,
+                              step_fn=None):
+    """Run the last upsampler + tail over ``n_chunks`` streaming steps.
+    ``h`` is decoder_head_pre_ups_forward_cl's [B,T,H/2,W/2,C] output."""
+    t_total = h.shape[1]
+    spans = stream_spans(t_total, n_chunks)
+    need = ups_tail_first_chunk_min(params, cfg)
+    if len(spans) > 1 and spans[0][1] - spans[0][0] < need:
+        raise ValueError(
+            f"ups+tail stream first chunk {spans[0][1] - spans[0][0]} "
+            f"frames < pipeline fill {need}; use fewer chunks"
+        )
+    state = ups_tail_stream_init(params, cfg, h.shape[0], h.shape[2],
+                                 h.shape[3], h.dtype)
+    step = step_fn or (
+        lambda p, hh, st, tt, mode: decoder_ups_tail_stream_cl(
+            p, cfg, hh, st, mode, tt, noise_key
+        )
+    )
+    outs = []
+    for i, (a, b) in enumerate(spans):
+        mode = _stream_mode(i, len(spans))
+        piece, state = step(params, h[:, a:b], state, temb, mode)
+        outs.append(piece)
+    return jnp.concatenate(outs, axis=2)
+
+
 def decoder_forward(params, cfg: LtxVaeConfig, z, temb=None, noise_key=None,
-                    tail_t_chunks: int = 1, channels_last=None):
+                    tail_t_chunks: int = 1, channels_last=None,
+                    tail_stream_chunks: int = 0,
+                    tail_stream_from_ups: bool = False):
     """LtxVideoDecoder3d (vae.rs:1488-1727). z [B,latent,F,H,W] -> video
     [B,3,F*8,H*32,W*32] in [-1,1]; ``temb`` [B] decode timesteps or None.
 
@@ -617,6 +1151,12 @@ def decoder_forward(params, cfg: LtxVaeConfig, z, temb=None, noise_key=None,
     Noise injection stays consistent: the per-conv noise is [H, W] spatial
     (shared across T), and each chunk replays the same key sequence.
 
+    ``tail_stream_chunks > 1``: streaming overlap-save tail instead — each
+    temporal conv carries its last-2 input frames as state, so chunking has
+    ZERO recompute (the halo path reprocesses 22 frames per boundary) and
+    the chunk count is free: O(chunk) tail memory at unchunked cost.
+    Channels-last only.
+
     ``channels_last`` (default: on, opt out via CVT_DECODER_LAYOUT=ncdhw):
     run the channels-last decoder twins — the production path on TPU.
 
@@ -629,7 +1169,19 @@ def decoder_forward(params, cfg: LtxVaeConfig, z, temb=None, noise_key=None,
     tail = decoder_tail_forward_cl if cl else decoder_tail_forward
     t_axis = 1 if cl else 2
 
+    if tail_stream_chunks > 0 and not cl:
+        raise ValueError("tail_stream_chunks requires the channels-last "
+                         "decoder (production layout)")
+    if tail_stream_chunks > 1 and tail_stream_from_ups:
+        h = decoder_head_pre_ups_forward_cl(params, cfg, z, temb, noise_key)
+        return decoder_ups_tail_streamed(
+            params, cfg, h, temb, noise_key, n_chunks=tail_stream_chunks
+        )
     h = head(params, cfg, z, temb, noise_key)
+    if tail_stream_chunks > 1:
+        return decoder_tail_streamed(
+            params, cfg, h, temb, noise_key, n_chunks=tail_stream_chunks
+        )
     if tail_t_chunks <= 1:
         return tail(params, cfg, h, temb, noise_key)
     pt = cfg.patch_size_t
@@ -939,6 +1491,86 @@ def _jitted_decoder_chunked(cfg: LtxVaeConfig, tail_t_chunks: int,
 
 
 @functools.lru_cache(maxsize=8)
+def _jitted_decoder_stream(cfg: LtxVaeConfig, n_chunks: int):
+    """Streaming-tail decode with head and per-chunk steps as SEPARATE
+    jits (same peak-bounding rationale as _jitted_decoder_chunked), zero
+    chunking recompute.  Three step programs (first/mid/last) compile once
+    each per shape; state rides between them as device arrays."""
+    head = jax.jit(lambda p, zz, tt: decoder_head_forward_cl(p, cfg, zz, tt))
+    step = {
+        m: jax.jit(
+            functools.partial(
+                lambda p, hh, st, tt, mode: decoder_tail_stream_cl(
+                    p, cfg, hh, st, mode, tt
+                ),
+                mode=m,
+            )
+        )
+        for m in ("first", "mid", "last", "single")
+    }
+
+    def run(p, zz, tt):
+        h = head(p, zz, tt)
+        return decoder_tail_streamed(
+            p, cfg, h, tt, n_chunks=n_chunks,
+            tail_fn=lambda pp, hh, st, t2, mode: step[mode](pp, hh, st, t2),
+        )
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_decoder_stream_ups(cfg: LtxVaeConfig, n_chunks: int):
+    """Streaming decode split BEFORE the last upsampler: the dense prefix
+    runs at <= half resolution (~4x smaller peak than the full head), and
+    the last upsampler + tail stream in n_chunks overlap-save steps —
+    decode peak ~1.5 GiB at 512x768x97f vs ~2.2 head-bound.  This is the
+    13B-resident decode mode."""
+    head = jax.jit(
+        lambda p, zz, tt: decoder_head_pre_ups_forward_cl(p, cfg, zz, tt)
+    )
+
+    def us(p, hh, st, tt, mode):
+        return decoder_ups_tail_stream_cl(p, cfg, hh, st, mode, tt)
+
+    step = {m: jax.jit(functools.partial(us, mode=m))
+            for m in ("first", "mid", "last", "single")}
+
+    def run(p, zz, tt):
+        h = head(p, zz, tt)
+        return decoder_ups_tail_streamed(
+            p, cfg, h, tt, n_chunks=n_chunks,
+            step_fn=lambda pp, hh, st, t2, mode: step[mode](pp, hh, st, t2),
+        )
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_decoder_fullstream(cfg: LtxVaeConfig, n_chunks: int):
+    """Fully streamed decode (streaming head AND tail) with per-mode step
+    programs — O(chunk) activation memory at every stage, unbounded T."""
+    def hs(p, zz, st, tt, mode):
+        return decoder_head_stream_cl(p, cfg, zz, st, mode, tt)
+
+    def ts(p, hh, st, tt, mode):
+        return decoder_tail_stream_cl(p, cfg, hh, st, mode, tt)
+
+    modes = ("first", "mid", "last", "single")
+    hstep = {m: jax.jit(functools.partial(hs, mode=m)) for m in modes}
+    tstep = {m: jax.jit(functools.partial(ts, mode=m)) for m in modes}
+
+    def run(p, zz, tt):
+        return decoder_forward_fullstream(
+            p, cfg, zz, tt, n_chunks=n_chunks,
+            head_fn=lambda c, s, m: hstep[m](p, c, s, tt),
+            tail_fn=lambda c, s, m: tstep[m](p, c, s, tt),
+        )
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
 def _jitted_encoder(cfg: LtxVaeConfig):
     return jax.jit(lambda p, xx: encoder_forward(p, cfg, xx))
 
@@ -955,6 +1587,9 @@ def decode(
     use_slicing: bool = False,
     decode_fn=None,
     tail_t_chunks: int = 1,
+    tail_stream_chunks: int = 0,
+    tail_stream_from_ups: bool = False,
+    full_stream_chunks: int = 0,
 ):
     """Facade decode with the reference's dispatch order (vae.rs:2037-2066):
     batch slicing (vae.rs:2109-2121), then temporal tiling if T exceeds the
@@ -970,7 +1605,23 @@ def decode(
         # jit the default decoder: eagerly-dispatched decoder ops cost
         # ~0.7 s of per-op tunnel dispatches (and lose fusion) at 97f scale
         cl = _use_channels_last()
-        if tail_t_chunks > 1:
+        if full_stream_chunks > 1:
+            if not cl:
+                raise ValueError(
+                    "full_stream_chunks requires the channels-last decoder"
+                )
+            jitted = _jitted_decoder_fullstream(cfg, full_stream_chunks)
+        elif tail_stream_chunks > 1:
+            if not cl:
+                raise ValueError(
+                    "tail_stream_chunks requires the channels-last decoder"
+                )
+            jitted = (
+                _jitted_decoder_stream_ups(cfg, tail_stream_chunks)
+                if tail_stream_from_ups
+                else _jitted_decoder_stream(cfg, tail_stream_chunks)
+            )
+        elif tail_t_chunks > 1:
             jitted = _jitted_decoder_chunked(cfg, tail_t_chunks, cl)
         else:
             jitted = _jitted_decoder(cfg, cl)

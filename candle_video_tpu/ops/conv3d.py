@@ -173,6 +173,7 @@ def causal_conv3d_cl(
     dilation=(1, 1, 1),
     groups: int = 1,
     causal: bool = True,
+    time_pad: str = "edge",
 ):
     """Channels-last 3D conv with replicate temporal padding: ``kt`` NHWC 2D
     convs (T folded into batch) summed over the temporal taps.
@@ -185,13 +186,18 @@ def causal_conv3d_cl(
     adds kt-1 bf16 adds vs the NCDHW path's single rounding — measured
     immaterial next to bf16 input rounding).  ``CVT_CONV3D_F32_OUT`` keeps
     f32 tap buffers like the NCDHW path.
+
+    ``time_pad="valid"``: skip temporal padding entirely — the caller has
+    already concatenated boundary frames (streaming-decode overlap-save:
+    the input holds (kt-1)·dilation extra frames of carried context and the
+    output is the pure valid convolution).  Spatial padding is unchanged.
     """
     kt, kh, kw = weight.shape[2], weight.shape[3], weight.shape[4]
     st, sh, sw = stride
     dt_, dh, dw = dilation
 
     x = x.astype(weight.dtype)
-    if kt > 1:
+    if kt > 1 and time_pad != "valid":
         span = (kt - 1) * dt_
         left, right = (span, 0) if causal else (span // 2, span - span // 2)
         x = jnp.pad(x, [(0, 0), (left, right), (0, 0), (0, 0), (0, 0)],

@@ -5,6 +5,7 @@ Covers the reference's verify_conv3d_parity / verify_upsampler_parity /
 verify_vae_parity / vae tiling suites.
 """
 
+import dataclasses
 import sys
 from pathlib import Path
 
@@ -575,3 +576,157 @@ def test_decoder_channels_last_equals_ncdhw(rng):
                 got, ref, atol=5e-5, rtol=1e-4,
                 err_msg=f"causal={causal} inject={inject} chunks={chunks}",
             )
+
+
+def test_decoder_tail_streaming_is_exact(rng):
+    """tail_stream_chunks: overlap-save streaming tail — per-conv 2-frame
+    input caches + delay-aligned residuals, ZERO halo recompute — must
+    reproduce the unchunked decode exactly (every frame is convolved by
+    the same ops on the same inputs, only the chunk boundaries differ)."""
+    import jax
+
+    from candle_video_tpu.models.ltx_video import vae as V
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
+
+    cfg = V.LtxVaeConfig(
+        in_channels=3, out_channels=3, latent_channels=4,
+        block_out_channels=(8, 16, 32), decoder_block_out_channels=(8, 16),
+        spatiotemporal_scaling=(True, True),
+        decoder_spatiotemporal_scaling=(True, True),
+        layers_per_block=(1, 1, 2), decoder_layers_per_block=(2, 2, 2),
+        patch_size=2, patch_size_t=1,
+        downsample_types=("spatiotemporal", "spatiotemporal"),
+        decoder_upsample_residual=(True, True),
+        decoder_upsample_factor=(2, 2),
+        timestep_conditioning=True, decoder_causal=False,
+        spatial_compression_ratio=8, temporal_compression_ratio=4,
+    )
+    params = init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    z = jnp.asarray(rng.normal(size=(1, 4, 7, 4, 4)), jnp.float32)
+    temb = jnp.asarray([0.05], jnp.float32)
+    ref = np.asarray(V.decoder_forward(params["decoder"], cfg, z, temb))
+    # tail T = 25 frames, pipeline delay = 2 resnets * 2 + 1 = 5
+    assert V.tail_stream_delay(params["decoder"]) == 5
+    for n in (2, 3, 4):
+        got = np.asarray(
+            V.decoder_forward(params["decoder"], cfg, z, temb,
+                              tail_stream_chunks=n)
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            got, ref, atol=2e-6, rtol=2e-6, err_msg=f"stream chunks={n}"
+        )
+
+    # facade: jitted head + per-mode step programs, same result
+    from candle_video_tpu.models.ltx_video.vae import _jitted_decoder_stream
+
+    got_j = np.asarray(
+        _jitted_decoder_stream(cfg, 3)(params["decoder"], z, temb)
+    )
+    np.testing.assert_allclose(got_j, ref, atol=2e-6, rtol=2e-6)
+
+    # too many chunks: first chunk must exceed the pipeline delay
+    with pytest.raises(ValueError, match="pipeline delay"):
+        V.decoder_forward(params["decoder"], cfg, z, temb,
+                          tail_stream_chunks=6)
+
+    # causal decoders keep the halo path (streaming assumes symmetric pads)
+    cfg_c = dataclasses.replace(cfg, decoder_causal=True)
+    params_c = init_vae_params(jax.random.PRNGKey(0), cfg_c, jnp.float32)
+    with pytest.raises(NotImplementedError):
+        V.decoder_forward(params_c["decoder"], cfg_c, z, temb,
+                          tail_stream_chunks=2)
+
+
+def test_decoder_fullstream_is_exact(rng):
+    """Fully streamed decode (streaming HEAD + tail): latent chunks flow
+    through overlap-save state at EVERY temporal conv and upsampler —
+    O(chunk) activation memory at every stage, exact vs the plain
+    decode."""
+    import jax
+
+    from candle_video_tpu.models.ltx_video import vae as V
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
+
+    cfg = V.LtxVaeConfig(
+        in_channels=3, out_channels=3, latent_channels=4,
+        block_out_channels=(8, 16, 32), decoder_block_out_channels=(8, 16),
+        spatiotemporal_scaling=(True, True),
+        decoder_spatiotemporal_scaling=(True, True),
+        layers_per_block=(1, 1, 2), decoder_layers_per_block=(2, 2, 2),
+        patch_size=2, patch_size_t=1,
+        downsample_types=("spatiotemporal", "spatiotemporal"),
+        decoder_upsample_residual=(True, True),
+        decoder_upsample_factor=(2, 2),
+        timestep_conditioning=True, decoder_causal=False,
+        spatial_compression_ratio=8, temporal_compression_ratio=4,
+    )
+    params = init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    need = V.fullstream_first_chunk_min(params["decoder"], cfg)
+    assert need == 11  # conv_in+2 mid resnets+2 up blocks of 2 resnets
+    z = jnp.asarray(rng.normal(size=(1, 4, 24, 4, 4)), jnp.float32)
+    temb = jnp.asarray([0.05], jnp.float32)
+    ref = np.asarray(V.decoder_forward(params["decoder"], cfg, z, temb))
+    got = np.asarray(
+        V.decoder_forward_fullstream(params["decoder"], cfg, z, temb,
+                                     n_chunks=2)
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=2e-6)
+
+    # jitted facade (per-mode head/tail step programs)
+    got_j = np.asarray(
+        V._jitted_decoder_fullstream(cfg, 2)(params["decoder"], z, temb)
+    )
+    np.testing.assert_allclose(got_j, ref, atol=2e-6, rtol=2e-6)
+
+    # first chunk below the pipeline fill must be rejected
+    with pytest.raises(ValueError, match="pipeline fill"):
+        V.decoder_forward_fullstream(params["decoder"], cfg, z, temb,
+                                     n_chunks=3)
+
+
+def test_decoder_ups_tail_stream_is_exact(rng):
+    """Stream split BEFORE the last upsampler: dense half-resolution
+    prefix + streamed last-upsampler+tail — exact vs the plain decode
+    (the 13B-resident decode mode)."""
+    import jax
+
+    from candle_video_tpu.models.ltx_video import vae as V
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
+
+    cfg = V.LtxVaeConfig(
+        in_channels=3, out_channels=3, latent_channels=4,
+        block_out_channels=(8, 16, 32), decoder_block_out_channels=(8, 16),
+        spatiotemporal_scaling=(True, True),
+        decoder_spatiotemporal_scaling=(True, True),
+        layers_per_block=(1, 1, 2), decoder_layers_per_block=(2, 2, 2),
+        patch_size=2, patch_size_t=1,
+        downsample_types=("spatiotemporal", "spatiotemporal"),
+        decoder_upsample_residual=(True, True),
+        decoder_upsample_factor=(2, 2),
+        timestep_conditioning=True, decoder_causal=False,
+        spatial_compression_ratio=8, temporal_compression_ratio=4,
+    )
+    params = init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    # pre-ups stream: tail delay 5, upsampler doubles -> first chunk >= 4
+    assert V.ups_tail_first_chunk_min(params["decoder"], cfg) == 4
+    z = jnp.asarray(rng.normal(size=(1, 4, 7, 4, 4)), jnp.float32)
+    temb = jnp.asarray([0.05], jnp.float32)
+    ref = np.asarray(V.decoder_forward(params["decoder"], cfg, z, temb))
+    # pre-ups stream T = 13 frames
+    for n in (2, 3):
+        got = np.asarray(
+            V.decoder_forward(params["decoder"], cfg, z, temb,
+                              tail_stream_chunks=n,
+                              tail_stream_from_ups=True)
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            got, ref, atol=2e-6, rtol=2e-6, err_msg=f"ups-stream chunks={n}"
+        )
+
+    got_j = np.asarray(
+        V._jitted_decoder_stream_ups(cfg, 2)(params["decoder"], z, temb)
+    )
+    np.testing.assert_allclose(got_j, ref, atol=2e-6, rtol=2e-6)
