@@ -709,8 +709,17 @@ def test_decoder_ups_tail_stream_is_exact(rng):
         spatial_compression_ratio=8, temporal_compression_ratio=4,
     )
     params = init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
-    # pre-ups stream: tail delay 5, upsampler doubles -> first chunk >= 4
-    assert V.ups_tail_first_chunk_min(params["decoder"], cfg) == 4
+    # Derive the expected minimum from the stream geometry instead of
+    # hardcoding: the first chunk of m pre-upsample frames yields
+    # st*(m-1) - (st-1) committed tail frames after the causal crop, and
+    # that must strictly exceed the tail's pipeline delay so the tail
+    # emits at least one frame on the first chunk.
+    delay = V.tail_stream_delay(params["decoder"])
+    st = 2  # decoder_spatiotemporal_scaling[-1] is True in this cfg
+    m = 2
+    while st * (m - 1) - (st - 1) <= delay:
+        m += 1
+    assert V.ups_tail_first_chunk_min(params["decoder"], cfg) == m == 5
     z = jnp.asarray(rng.normal(size=(1, 4, 7, 4, 4)), jnp.float32)
     temb = jnp.asarray([0.05], jnp.float32)
     ref = np.asarray(V.decoder_forward(params["decoder"], cfg, z, temb))
