@@ -170,6 +170,34 @@ def bench_13b_subprocess():
               flush=True)
 
 
+def bench_coldstart_subprocess():
+    """Time-to-first-frame of a fresh CLI-equivalent process at the default
+    preset (512x768x97f, 7 steps) — benches/coldstart.py, run TWICE:
+    the first run pays any not-yet-cached XLA compiles (coldstart_cold_s),
+    the second is the warm start a repeat user sees (coldstart_s; the
+    reference claims ~2 s on prebuilt CUDA binaries, README.md:57).  Runs
+    BEFORE this process touches the device."""
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    results = []
+    for tag in ("coldstart_cold_s", "coldstart_s"):
+        try:
+            res = subprocess.run(
+                [sys.executable, "-m", "benches.coldstart"],
+                capture_output=True, text=True, timeout=1200, cwd=here,
+            )
+            line = [l for l in res.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            results.append((tag, float(json.loads(line)["elapsed_s"])))
+        except Exception as e:  # noqa: BLE001 — bench must survive
+            print(f"[bench] {tag} skipped: {e}", file=__import__("sys").stderr,
+                  flush=True)
+    for tag, v in results:
+        _emit(tag, v, "s", None)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -185,6 +213,7 @@ def main():
     from candle_video_tpu.ops.rope import rope_cos_sin
 
     bench_13b_subprocess()  # BEFORE any device work in this process
+    bench_coldstart_subprocess()  # also pre-device (fresh-process timing)
 
     full = get_config_by_version("0.9.8-2b-distilled")
     cfg = full.transformer

@@ -1,0 +1,71 @@
+"""Cold/warm start: wall-clock from process start to the first finished
+frame of a production-shape generation (512x768x97f, 1 denoise step).
+
+The reference brags ~2 s startup on its prebuilt CUDA binaries
+(/root/reference/README.md:57); a JAX process pays interpreter + jax import
++ XLA compilation.  The persistent compilation cache
+(JAX_COMPILATION_CACHE_DIR) converts the dominant compile cost into a disk
+load, so the number that matters to a repeat CLI user is the WARM start —
+bench.py runs this script twice in fresh subprocesses and reports the
+second run as ``coldstart_s`` (the first, ``coldstart_cold_s``, pays any
+not-yet-cached compiles — on this tunnel every XLA compile is a remote
+RPC, which is what made round-3's first measurement 397 s).
+
+Run: python -m benches.coldstart   (prints one JSON line with the elapsed)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+T0 = time.perf_counter()  # process-level: import costs count
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/candle_video_tpu_xla"),
+)
+
+
+def main():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from candle_video_tpu.models.ltx_video import pipeline as P
+    from candle_video_tpu.models.ltx_video.configs import get_config_by_version
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
+    from candle_video_tpu.models.ltx_video.zeros_init import (
+        zeros_transformer_params,
+    )
+
+    full = get_config_by_version("0.9.8-2b-distilled")
+    params = zeros_transformer_params(full.transformer, jnp.bfloat16)
+    vae_params = init_vae_params(
+        __import__("jax").random.PRNGKey(0), full.vae, jnp.bfloat16
+    )
+    pipe = P.LtxPipeline(
+        config=full, transformer_params=params, vae_params=vae_params
+    )
+    emb = jnp.zeros((1, 128, full.transformer.caption_channels), jnp.float32)
+    mask = jnp.ones((1, 128), jnp.float32)
+    # preset defaults (7 distilled steps) — the same programs the e2e bench
+    # compiles, so the persistent cache is shared and the warm start is what
+    # a repeat CLI user of the default preset sees
+    video = P.generate(
+        pipe,
+        prompt_embeds=emb,
+        prompt_attention_mask=mask,
+        height=512, width=768, num_frames=97,
+        output_type="tensor",
+        use_pcg_rng=False,
+        vae_tail_stream_chunks=2,
+    )
+    np.asarray(video[0, 0, 0, 0, :1])  # first frame ready
+    elapsed = time.perf_counter() - T0
+    print(json.dumps({"elapsed_s": round(elapsed, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -104,8 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persistent XLA compilation cache dir ('' disables); "
                         "makes repeat cold-starts fast")
     p.add_argument("--mesh", type=str, default=None,
-                   help="device mesh spec: 'dp=1,tp=4' (tensor-parallel 13B) "
-                        "or 'pp=4[,interleave=2]' (pipelined denoise)")
+                   help="device mesh spec: 'dp=1,tp=4' (tensor-parallel 13B), "
+                        "'pp=4[,interleave=2]' (pipelined denoise), or "
+                        "'sp=4[,dp=2]' (sequence-parallel ring attention — "
+                        "video tokens shard over the mesh, K/V rotate via "
+                        "collective-permute)")
     return p
 
 
@@ -288,6 +291,7 @@ def main(argv=None) -> int:
     if args.mesh:
         spec = dict(kv.split("=") for kv in args.mesh.split(","))
         pp = int(spec.get("pp", 1))
+        sp = int(spec.get("sp", 1))
         if pp > 1:
             # pipeline-parallel mode: generate() shards the block stack over
             # the 'pp' axis and runs the pipelined denoise scan
@@ -298,6 +302,16 @@ def main(argv=None) -> int:
                 pp_interleave=int(spec.get("interleave", 1)),
             )
             print(f"mesh: pp={pp} interleave={spec.get('interleave', 1)}")
+        elif sp > 1:
+            # sequence-parallel mode: generate() shards the video-token
+            # sequence over the 'sp' axis; self-attention K/V rotate around
+            # the ring via ppermute (parallel/sequence.denoise_loop_sp)
+            from .parallel import make_mesh
+
+            pp_kwargs = dict(
+                sp_mesh=make_mesh(dp=int(spec.get("dp", 1)), sp=sp),
+            )
+            print(f"mesh: dp={spec.get('dp', 1)} sp={sp} (ring attention)")
         else:
             from .parallel import make_mesh, shard_transformer_params
 

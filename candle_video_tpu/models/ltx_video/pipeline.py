@@ -582,12 +582,21 @@ def generate(
     pp_mesh=None,  # jax.sharding.Mesh with a 'pp' axis: pipeline-parallel mode
     pp_microbatches: Optional[int] = None,
     pp_interleave: int = 1,
+    sp_mesh=None,  # jax.sharding.Mesh with an 'sp' axis: sequence-parallel
+    #                (ring-attention) mode, optionally composed with 'dp'
 ):
     """End-to-end text/image-to-video generation (t2v_pipeline.rs:627-1073).
 
     ``pp_mesh``: run the denoise scan with the DiT block stack pipelined
     over the mesh's 'pp' axis (parallel.denoise_loop_pp) — GPipe by default,
     interleaved virtual stages with ``pp_interleave>1``.
+
+    ``sp_mesh``: run the denoise scan with the video-token sequence sharded
+    over the mesh's 'sp' axis (parallel.denoise_loop_sp) — self-attention
+    K/V chunks rotate around the ring via ppermute, no chip ever holds the
+    full sequence; composable with batch sharding over a 'dp' axis.  The
+    capability the reference lacks entirely (SURVEY.md §2.3: it tames
+    sequence length with VAE tiling instead).
 
     ``image`` / ``image_latents``: image-to-video conditioning (beyond the
     reference's t2v-only pipeline; diffusers LTXImageToVideoPipeline
@@ -827,9 +836,13 @@ def generate(
     # attn1 q/k projections once (cached on the pipeline) and rotate q AND k
     # inside the packed kernel from compact tables — kills the per-layer XLA
     # k-rotation pass and halves rope-table HBM traffic, exactly.
+    if pp_mesh is not None and sp_mesh is not None:
+        raise ValueError("pass at most one of pp_mesh / sp_mesh")
+
     rope_split = None
     t_params = pipe.transformer_params
-    if pp_mesh is None and _use_split_rope(pipe, tcfg, seq_len, attn_impl):
+    if (pp_mesh is None and sp_mesh is None
+            and _use_split_rope(pipe, tcfg, seq_len, attn_impl)):
         from ...ops.rope import rope_split_tables
 
         rope_split = rope_split_tables(rope_cos, rope_sin)
@@ -840,7 +853,8 @@ def generate(
             "load via transformer_params_w8_from_state_dict(rope_split=True)"
             "/mark_rope_presplit, or in place via materialize_split_rope), "
             f"but this configuration (attn_impl={attn_impl!r}, "
-            f"seq_len={seq_len}, pp={pp_mesh is not None}) would not "
+            f"seq_len={seq_len}, pp={pp_mesh is not None}, "
+            f"sp={sp_mesh is not None}) would not "
             "dispatch the packed split-rope kernel — the permuted q/k "
             "projections are wrong for the interleaved rotation. Reload "
             "without the split layout for this configuration."
@@ -865,6 +879,11 @@ def generate(
     if i2v:
         if pp_mesh is not None:
             raise ValueError("image conditioning is not supported in PP mode")
+        if sp_mesh is not None:
+            raise ValueError(
+                "image conditioning is not supported in SP mode (per-token "
+                "timesteps are not wired through the ring loop)"
+            )
         if stochastic:
             raise ValueError(
                 "stochastic sampling is not supported with image conditioning "
@@ -894,6 +913,28 @@ def generate(
                     step_callback(i, n, final)
         else:
             final = _i2v_step(latents, schedule.timesteps_jnp)
+    elif sp_mesh is not None:
+        from ...parallel import denoise_loop_sp
+
+        if step_callback is not None:
+            raise ValueError("step_callback is not supported in SP mode")
+        if stochastic:
+            raise ValueError(
+                "stochastic sampling is not supported in SP mode (the "
+                "oracle draws one full-sequence noise tensor; shards would "
+                "need a different stream)"
+            )
+        sp_params = jax.device_put(
+            t_params,
+            jax.sharding.NamedSharding(sp_mesh, jax.sharding.PartitionSpec()),
+        )
+        final = denoise_loop_sp(
+            sp_params, tcfg, latents, enc_states, enc_mask,
+            schedule.sigmas_jnp, schedule.timesteps_jnp, rope_cos, rope_sin,
+            guidance_scale, guidance_rescale if do_cfg else 0.0, stg_scale,
+            jnp.asarray(skip_mask), mesh=sp_mesh, num_conds=num_conds,
+            attn_impl=attn_impl, use_skip=bool(use_skip),
+        )
     elif pp_mesh is not None:
         from ...parallel import denoise_loop_pp, shard_transformer_params_pp
 

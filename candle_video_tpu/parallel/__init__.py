@@ -13,10 +13,15 @@ from .pipeline import (
     schedule_ticks,
     shard_transformer_params_pp,
 )
-from .sequence import ring_attention, sequence_parallel_attention
+from .sequence import (
+    denoise_loop_sp,
+    ring_attention,
+    sequence_parallel_attention,
+)
 
 __all__ = [
     "denoise_loop_pp",
+    "denoise_loop_sp",
     "interleave_layer_order",
     "make_mesh",
     "make_pipeline_mesh",

@@ -23,11 +23,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Mesh over (dp, tp) or (dp, sp) — tp shards weights (attention heads
+    + FF hidden), sp shards the video-token sequence (ring attention,
+    parallel/sequence.py).  tp and sp are mutually exclusive axes of the
+    same physical ring in this build; compose either with dp."""
     devices = devices if devices is not None else jax.devices()
-    need = dp * tp
+    if tp > 1 and sp > 1:
+        raise ValueError(
+            "tp and sp cannot be combined in one mesh (weight sharding "
+            "inside the ring shard_map is not wired); use dp x tp or dp x sp"
+        )
+    need = dp * tp * sp
     if len(devices) < need:
-        raise ValueError(f"need {need} devices for dp={dp}, tp={tp}; have {len(devices)}")
+        raise ValueError(
+            f"need {need} devices for dp={dp}, tp={tp}, sp={sp}; "
+            f"have {len(devices)}"
+        )
+    if sp > 1:
+        arr = np.asarray(devices[:need]).reshape(dp, sp)
+        return Mesh(arr, axis_names=("dp", "sp"))
     arr = np.asarray(devices[:need]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 

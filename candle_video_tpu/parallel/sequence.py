@@ -76,26 +76,6 @@ def sequence_parallel_attention(
     return shard(*args)
 
 
-def _chunk_attention_lse(qc, kc, vc, scale: float):
-    """Per-chunk attention returning unnormalized (acc, m, l) for blockwise
-    combination: BF16 matmuls with f32-accumulated logits and f32 softmax
-    (flash-attention numerics)."""
-    qf = jnp.swapaxes(qc, 1, 2)  # [B, H, Sq, D]
-    kf = jnp.swapaxes(kc, 1, 2)
-    vf = jnp.swapaxes(vc, 1, 2)
-    s = jnp.einsum(
-        "bhsd,bhkd->bhsk", qf, kf, preferred_element_type=jnp.float32
-    ) * jnp.float32(scale)
-    m = jnp.max(s, axis=-1)  # [B, H, Sq]
-    p = jnp.exp(s - m[..., None])
-    l = jnp.sum(p, axis=-1)
-    acc = jnp.einsum(
-        "bhsk,bhkd->bhsd", p.astype(vc.dtype), vf,
-        preferred_element_type=jnp.float32,
-    )
-    return acc, m, l
-
-
 def ring_attention(
     q,
     k,
@@ -118,94 +98,141 @@ def ring_attention(
     kernel (ops/pallas/ring_chunk.py) so scores live only as a
     [block_q, Sc] VMEM tile — per-chip memory O(Sq·block) instead of
     O(Sq·Sc).  "auto" = pallas on TPU, xla elsewhere.
+
+    The per-shard body lives in ops/ring.py (ring_self_attention) so the
+    sequence-parallel denoise loop (denoise_loop_sp) can call it from
+    inside its own shard_map.
     """
+    from ..ops.ring import ring_self_attention
+
     n = mesh.shape[axis_name]
     if q.shape[1] % n != 0:
         raise ValueError(
             f"sequence length {q.shape[1]} not divisible by mesh axis "
             f"'{axis_name}' size {n}"
         )
-    if chunk_impl == "auto":
-        # The fused pallas chunk kernel requires the lane-group layout
-        # (same viability condition as flash_attention_packed): head_dim
-        # divides 128 and num_heads divides evenly into lane groups.
-        h, d = q.shape[2], q.shape[3]
-        lane_ok = d <= 128 and 128 % d == 0 and h % (128 // d) == 0
-        chunk_impl = (
-            "pallas"
-            if lane_ok and jax.devices()[0].platform in ("tpu", "axon")
-            else "xla"
-        )
 
     spec = P(None, axis_name, None, None)
-
-    if chunk_impl == "pallas":
-        from ..ops.pallas.ring_chunk import init_ring_state, ring_chunk_update
-
-        def inner_pallas(qc, kc, vc):
-            b, sq, h, d = qc.shape
-            hd = h * d
-            hp = 128 // d
-            seg = 128 // (2 * hp)
-            q3 = qc.reshape(b, sq, hd)
-            k3 = kc.reshape(b, kc.shape[1], hd)
-            v3 = vc.reshape(b, vc.shape[1], hd)
-            perm = [(j, (j + 1) % n) for j in range(n)]
-            stat0, acc0 = init_ring_state(b, sq, hd)
-
-            def body(carry, _):
-                kcur, vcur, stat, acc = carry
-                knxt = jax.lax.ppermute(kcur, axis_name, perm)
-                vnxt = jax.lax.ppermute(vcur, axis_name, perm)
-                stat, acc = ring_chunk_update(
-                    q3, kcur, vcur, stat, acc, num_heads=h, scale=scale
-                )
-                return (knxt, vnxt, stat, acc), None
-
-            (_, _, stat, acc), _ = jax.lax.scan(
-                body, (k3, v3, stat0, acc0), None, length=n
-            )
-            st = stat.reshape(b, sq, h // hp, 128)
-            l = jnp.stack(
-                [st[..., (hp + i) * seg] for i in range(hp)], axis=-1
-            ).reshape(b, sq, h)
-            out = acc.reshape(b, sq, h, d) / l[..., None]
-            return out.astype(qc.dtype)
-
-        return jax.shard_map(
-            inner_pallas, mesh=mesh, in_specs=(spec, spec, spec),
-            out_specs=spec, check_vma=False,
-        )(q, k, v)
-
-    def inner(qc, kc, vc):
-        b, sq, h, d = qc.shape
-        perm = [(j, (j + 1) % n) for j in range(n)]
-
-        def body(carry, _):
-            kcur, vcur, m_run, l_run, acc_run = carry
-            # rotate the NEXT chunk while computing on the current one —
-            # independent ops, overlapped by the latency-hiding scheduler
-            knxt = jax.lax.ppermute(kcur, axis_name, perm)
-            vnxt = jax.lax.ppermute(vcur, axis_name, perm)
-            acc_i, m_i, l_i = _chunk_attention_lse(qc, kcur, vcur, scale)
-            m_new = jnp.maximum(m_run, m_i)
-            a = jnp.exp(m_run - m_new)
-            bb = jnp.exp(m_i - m_new)
-            l_new = l_run * a + l_i * bb
-            acc_new = acc_run * a[..., None] + acc_i * bb[..., None]
-            return (knxt, vnxt, m_new, l_new, acc_new), None
-
-        m0 = jnp.full((b, h, sq), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((b, h, sq), jnp.float32)
-        acc0 = jnp.zeros((b, h, sq, d), jnp.float32)
-        (_, _, m_f, l_f, acc_f), _ = jax.lax.scan(
-            body, (kc, vc, m0, l0, acc0), None, length=n
-        )
-        out = (acc_f / l_f[..., None]).astype(qc.dtype)
-        return jnp.swapaxes(out, 1, 2)  # [B, Sq, H, D]
-
     shard = jax.shard_map(
-        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        functools.partial(
+            ring_self_attention, scale=scale, axis_name=axis_name,
+            chunk_impl=chunk_impl,
+        ),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
     )
     return shard(q, k, v)
+
+
+def denoise_loop_sp(
+    transformer_params,
+    tcfg,
+    latents,  # [B, S, C] f32
+    encoder_hidden_states,  # [num_conds*B, K, caption] (batched rows)
+    encoder_attention_mask,  # [num_conds*B, K]
+    sigmas,  # [N+1] f32
+    timesteps,  # [N] f32
+    rope_cos,  # [1, S, D] f32
+    rope_sin,
+    guidance_scale,
+    guidance_rescale,
+    stg_scale,
+    skip_layer_mask,  # [L, num_conds*B] f32
+    mesh: Mesh,
+    num_conds: int = 1,
+    attn_impl: str = "auto",
+    use_skip: bool = False,
+):
+    """Sequence-parallel denoise scan: the WHOLE scan runs inside ONE
+    ``shard_map`` with the video-token axis sharded over the mesh's 'sp'
+    axis (optionally composed with batch over 'dp').  Self-attention K/V
+    chunks rotate around the ring via ``ppermute`` (ops/ring.py) — no chip
+    ever holds the full K/V sequence; cross-attention, norms, FF, AdaLN,
+    and the Euler step are token-local, so they need no collectives at all.
+
+    Parity: ≡ pipeline.denoise_loop to f32 accumulation error (asserted in
+    tests/test_sp_pipeline.py and __graft_entry__.dryrun_multichip).
+
+    Limitations (rejected in generate()): stochastic sampling (the oracle
+    draws one full-sequence noise tensor; shards would need a different
+    stream) and the split-rope packed layout (rope rotates locally before
+    the ring instead).
+    """
+    from ..models.ltx_video import scheduler as S
+    from ..models.ltx_video import transformer as TF
+
+    if "sp" not in mesh.shape:
+        raise ValueError(f"mesh {mesh.shape} has no 'sp' axis")
+    sp = mesh.shape["sp"]
+    dp = mesh.shape.get("dp", 1)
+    b, s, _ = latents.shape
+    if s % sp != 0:
+        raise ValueError(f"sequence length {s} not divisible by sp={sp}")
+    if b % dp != 0:
+        raise ValueError(f"batch {b} not divisible by dp={dp}")
+
+    # scalars close over the shard_map body as replicated constants
+    guidance_scale = float(guidance_scale)
+    guidance_rescale = float(guidance_rescale)
+    stg_scale = float(stg_scale)
+
+    n_steps = timesteps.shape[0]
+    lat_spec = P("dp", "sp", None)
+    # guidance rows regrouped [num_conds, B, ...] so dp shards matching rows
+    enc4 = encoder_hidden_states.reshape(
+        num_conds, b, *encoder_hidden_states.shape[1:]
+    )
+    mask3 = encoder_attention_mask.reshape(
+        num_conds, b, encoder_attention_mask.shape[-1]
+    )
+    skip3 = skip_layer_mask.reshape(skip_layer_mask.shape[0], num_conds, b)
+    rope_spec = P(None, "sp", None)
+    rep = jax.tree.map(lambda _: P(), transformer_params)
+
+    def inner(params, lat, enc4c, mask3c, skip3c, cos, sin, sig, ts):
+        bl = lat.shape[0]
+        enc_rows = enc4c.reshape(num_conds * bl, *enc4c.shape[2:])
+        mask_rows = mask3c.reshape(num_conds * bl, mask3c.shape[-1])
+        skip_rows = skip3c.reshape(skip3c.shape[0], num_conds * bl)
+        cos_b = jnp.broadcast_to(cos, (num_conds * bl,) + cos.shape[1:])
+        sin_b = jnp.broadcast_to(sin, (num_conds * bl,) + sin.shape[1:])
+
+        def step_fn(carry, xs):
+            t, sigma, sigma_next = xs
+            lat_in = jnp.tile(carry, (num_conds, 1, 1))
+            timestep = jnp.full((num_conds * bl,), t, jnp.float32)
+            pred = TF.forward(
+                params, tcfg, lat_in, enc_rows, timestep, cos_b, sin_b,
+                encoder_attention_mask=mask_rows,
+                skip_layer_mask=skip_rows if use_skip else None,
+                attn_impl=attn_impl,
+                ring_axis="sp",
+            ).astype(jnp.float32)
+            from ..models.ltx_video.pipeline import guidance_combine
+
+            combined = guidance_combine(
+                pred, bl, num_conds, guidance_scale, guidance_rescale,
+                stg_scale,
+            )
+            return S.step(carry, combined, sigma, sigma_next), None
+
+        xs = (ts, sig[:-1], sig[1:])
+        final, _ = jax.lax.scan(
+            step_fn, lat.astype(jnp.float32), xs, length=n_steps
+        )
+        return final
+
+    shard = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(rep, lat_spec, P(None, "dp"), P(None, "dp"),
+                  P(None, None, "dp"), rope_spec, rope_spec, P(None),
+                  P(None)),
+        out_specs=lat_spec,
+        check_vma=False,
+    )
+    return jax.jit(shard)(
+        transformer_params, latents,
+        jnp.asarray(enc4), jnp.asarray(mask3), jnp.asarray(skip3),
+        rope_cos, rope_sin, sigmas, timesteps,
+    )
