@@ -65,36 +65,60 @@ _DOWNSAMPLE_STRIDES = {
 
 
 # ---------------------------------------------------------------------------
-# primitives
+# primitives — ONE definition per op, parametrized by layout (``cl``)
+#
+# Every decoder op exists in two layouts: channels-first [B,C,T,H,W] (the
+# reference's NCDHW order, vae.rs:148-153) and channels-last [B,T,H,W,C]
+# (the production TPU path: NHWC conv taps hit 158-175 TF/s vs 90-117 for
+# NCDHW conv3d — scripts/profile_conv_variants.py).  Rather than twin
+# function bodies kept in lock-step by hand (the round-3 drift class), the
+# math lives ONCE and the layout is a parameter: reduce axis, broadcast
+# shape, and conv lowering switch on ``cl``; the NCDHW-vs-CL parity test
+# still compares two genuinely different XLA programs.
+#
+# The streaming (overlap-save) decoder variants reuse the SAME bodies with
+# injected conv callables that thread per-conv caches (see the streaming
+# section below) — block and stream cannot drift because there is nothing
+# to drift between.
 # ---------------------------------------------------------------------------
 
 
-def _rms_norm_cf(x, eps: float = 1e-8, weight=None):
-    """RMSNorm over the channel axis of [B,C,T,H,W] (channels-first),
-    f32 internals (vae.rs:148-153 permute → rmsnorm → permute, fused here)."""
+def _rms_norm(x, eps: float = 1e-8, weight=None, *, cl: bool = False):
+    """RMSNorm over the channel axis, f32 internals (vae.rs:148-153)."""
+    axis = -1 if cl else 1
     xf = x.astype(jnp.float32)
-    ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+    ms = jnp.mean(xf * xf, axis=axis, keepdims=True)
     y = (xf / jnp.sqrt(ms + jnp.float32(eps))).astype(x.dtype)
     if weight is not None:
-        y = y * weight.astype(x.dtype)[None, :, None, None, None]
+        w = weight.astype(x.dtype)
+        y = y * (w if cl else w[None, :, None, None, None])
     return y
 
 
-def _layer_norm_cf(x, eps: float, weight=None, bias=None):
+def _layer_norm(x, eps: float, weight=None, bias=None, *, cl: bool = False):
+    axis = -1 if cl else 1
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=1, keepdims=True)
+    mean = jnp.mean(xf, axis=axis, keepdims=True)
     xc = xf - mean
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    var = jnp.mean(xc * xc, axis=axis, keepdims=True)
     y = (xc / jnp.sqrt(var + jnp.float32(eps))).astype(x.dtype)
     if weight is not None:
-        y = y * weight.astype(x.dtype)[None, :, None, None, None]
+        w = weight.astype(x.dtype)
+        y = y * (w if cl else w[None, :, None, None, None])
     if bias is not None:
-        y = y + bias.astype(x.dtype)[None, :, None, None, None]
+        b = bias.astype(x.dtype)
+        y = y + (b if cl else b[None, :, None, None, None])
     return y
 
 
 def _conv(p, x, stride=(1, 1, 1), causal=True):
     return causal_conv3d(
+        x, p["weight"], p.get("bias"), stride=stride, causal=causal
+    )
+
+
+def _conv_cl(p, x, stride=(1, 1, 1), causal=True):
+    return causal_conv3d_cl(
         x, p["weight"], p.get("bias"), stride=stride, causal=causal
     )
 
@@ -107,57 +131,104 @@ def _time_embedder(p, temb, dtype):
     return h @ p["linear_2"]["weight"] + p["linear_2"]["bias"]
 
 
-def _resnet_block(p, cfg, x, temb5=None, causal=True, noise_key=None):
-    """LtxVideoResnetBlock3d (vae.rs:584-822).
-
-    ``temb5``: [B, 4C, 1, 1, 1] block-projected timestep embedding or None.
-    """
-    h = x
-    h = _rms_norm_cf(h, 1e-8)
-
-    if p.get("scale_shift_table") is not None and temb5 is not None:
-        tbl = p["scale_shift_table"]  # [4, C]
-        b = temb5.shape[0]
-        c = tbl.shape[1]
-        t = temb5.reshape(b, 4, c, 1, 1, 1) + tbl[None, :, :, None, None, None]
-        shift1, scale1, shift2, scale2 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
+def _split_temb4(p, temb, cl: bool):
+    """Block scale_shift_table [4,C] + flat temb [B,4C] (or legacy 5D
+    [B,4C,1,1,1]) → four layout-broadcastable (shift1, scale1, shift2,
+    scale2), or Nones when unconditioned."""
+    if p.get("scale_shift_table") is None or temb is None:
+        return None, None, None, None
+    tbl = p["scale_shift_table"]  # [4, C]
+    b = temb.shape[0]
+    c = tbl.shape[1]
+    t = temb.reshape(b, 4, c) + tbl[None].astype(temb.dtype)
+    if cl:
+        t = t[:, :, None, None, None, :]  # [B,4,1,1,1,C]
     else:
-        shift1 = scale1 = shift2 = scale2 = None
+        t = t[:, :, :, None, None, None]  # [B,4,C,1,1,1]
+    return t[:, 0], t[:, 1], t[:, 2], t[:, 3]
+
+
+def _inject_noise(h, key, scale, cl: bool):
+    """Per-channel spatially-shared [H, W] noise (vae.rs:741-753)."""
+    key, sub = jax.random.split(key)
+    sp = h.shape[2:4] if cl else h.shape[-2:]
+    noise = jax.random.normal(sub, sp, h.dtype)
+    s = scale.astype(h.dtype)
+    if cl:
+        h = h + noise[None, None, :, :, None] * s.reshape(1, 1, 1, 1, -1)
+    else:
+        h = h + noise[None, None, None] * s.reshape(1, -1, 1, 1, 1)
+    return h, key
+
+
+def _resnet_core(p, cfg, x, temb, conv1, conv2, shortcut_conv,
+                 shortcut_align, cl: bool, noise_key):
+    """LtxVideoResnetBlock3d (vae.rs:584-822) — the single body behind the
+    NCDHW, channels-last, and streaming variants.  ``conv1``/``conv2``/
+    ``shortcut_conv`` are layout- (and cache-) carrying callables;
+    ``shortcut_align`` re-aligns the residual branch with conv-delayed
+    streams (identity for block mode)."""
+    h = _rms_norm(x, 1e-8, cl=cl)
+    shift1, scale1, shift2, scale2 = _split_temb4(p, temb, cl)
 
     if shift1 is not None:
         h = h * (1.0 + scale1.astype(h.dtype)) + shift1.astype(h.dtype)
     h = silu(h)
-    h = _conv(p["conv1"], h, causal=causal)
+    h = conv1(h)
 
     if p.get("per_channel_scale1") is not None and noise_key is not None:
-        # spatial (H, W) noise scaled per channel (vae.rs:741-753)
-        noise_key, sub = jax.random.split(noise_key)
-        noise = jax.random.normal(sub, h.shape[-2:], h.dtype)[None, None, None]
-        h = h + noise * p["per_channel_scale1"].astype(h.dtype).reshape(1, -1, 1, 1, 1)
+        h, noise_key = _inject_noise(h, noise_key, p["per_channel_scale1"], cl)
 
-    h = _rms_norm_cf(h, 1e-8)
+    h = _rms_norm(h, 1e-8, cl=cl)
     if shift2 is not None:
         h = h * (1.0 + scale2.astype(h.dtype)) + shift2.astype(h.dtype)
     h = silu(h)
-    h = _conv(p["conv2"], h, causal=causal)
+    h = conv2(h)
 
     if p.get("per_channel_scale2") is not None and noise_key is not None:
-        noise_key, sub = jax.random.split(noise_key)
-        sp = h.shape[-2:]
-        noise = jax.random.normal(sub, sp, h.dtype)[None, None, None]
-        h = h + noise * p["per_channel_scale2"].astype(h.dtype).reshape(1, -1, 1, 1, 1)
+        h, noise_key = _inject_noise(h, noise_key, p["per_channel_scale2"], cl)
 
     shortcut = x
     if p.get("norm3") is not None:
-        shortcut = _layer_norm_cf(
-            shortcut, cfg.resnet_eps, p["norm3"].get("weight"), p["norm3"].get("bias")
+        shortcut = _layer_norm(
+            shortcut, cfg.resnet_eps, p["norm3"].get("weight"),
+            p["norm3"].get("bias"), cl=cl,
         )
     elif p.get("conv_shortcut") is not None:
         # affine-less norm3 still applies whenever the shortcut changes width
-        shortcut = _layer_norm_cf(shortcut, cfg.resnet_eps)
+        shortcut = _layer_norm(shortcut, cfg.resnet_eps, cl=cl)
     if p.get("conv_shortcut") is not None:
-        shortcut = _conv(p["conv_shortcut"], shortcut, causal=causal)
-    return h + shortcut
+        shortcut = shortcut_conv(shortcut)
+    return h + shortcut_align(shortcut)
+
+
+def _flat_temb(temb):
+    """Accept flat [B,4C] or legacy [B,4C,1,1,1] block tembs."""
+    if temb is None:
+        return None
+    return temb.reshape(temb.shape[0], -1)
+
+
+def _resnet_block(p, cfg, x, temb5=None, causal=True, noise_key=None):
+    """NCDHW resnet (parity oracle + encoder path)."""
+    return _resnet_core(
+        p, cfg, x, _flat_temb(temb5),
+        conv1=lambda h: _conv(p["conv1"], h, causal=causal),
+        conv2=lambda h: _conv(p["conv2"], h, causal=causal),
+        shortcut_conv=lambda s: _conv(p["conv_shortcut"], s, causal=causal),
+        shortcut_align=lambda s: s, cl=False, noise_key=noise_key,
+    )
+
+
+def _resnet_block_cl(p, cfg, x, temb2=None, causal=True, noise_key=None):
+    """Channels-last resnet (production decode path)."""
+    return _resnet_core(
+        p, cfg, x, temb2,
+        conv1=lambda h: _conv_cl(p["conv1"], h, causal=causal),
+        conv2=lambda h: _conv_cl(p["conv2"], h, causal=causal),
+        shortcut_conv=lambda s: _conv_cl(p["conv_shortcut"], s, causal=causal),
+        shortcut_align=lambda s: s, cl=True, noise_key=noise_key,
+    )
 
 
 def _pixel_unshuffle_downsample(p, x, stride, out_channels: int, causal=True):
@@ -188,8 +259,15 @@ def _pixel_unshuffle_downsample(p, x, stride, out_channels: int, causal=True):
     return hidden + residual
 
 
-def _depth_to_space(y, st, sh, sw):
-    """reference upsampler shuffle (vae.rs:1106-1158)."""
+def _depth_to_space(y, st, sh, sw, *, cl: bool = False):
+    """Reference upsampler shuffle (vae.rs:1106-1158); channel order is
+    c_out-major then (st, sh, sw) in BOTH layouts."""
+    if cl:
+        b, t, hgt, wid, c = y.shape
+        c_out = c // (st * sh * sw)
+        y = y.reshape(b, t, hgt, wid, c_out, st, sh, sw)
+        y = y.transpose(0, 1, 5, 2, 6, 3, 7, 4)  # [B,T,st,H,sh,W,sw,C']
+        return y.reshape(b, t * st, hgt * sh, wid * sw, c_out)
     b, c, t, hgt, wid = y.shape
     c_out = c // (st * sh * sw)
     y = y.reshape(b, c_out, st, sh, sw, t, hgt, wid)
@@ -197,22 +275,54 @@ def _depth_to_space(y, st, sh, sw):
     return y.reshape(b, c_out, t * st, hgt * sh, wid * sw)
 
 
-def _upsampler(p, x, stride, residual: bool, channel_repeats: int, causal=True):
-    """LtxVideoUpsampler3d (vae.rs:1037-1170)."""
+def _tile_channels(y, repeats: int, cl: bool):
+    reps = (1, 1, 1, 1, repeats) if cl else (1, repeats, 1, 1, 1)
+    return jnp.tile(y, reps)
+
+
+def _crop_t(y, n: int, cl: bool):
+    return y[:, n:] if cl else y[:, :, n:]
+
+
+def _upsampler_core(p, x, stride, residual: bool, channel_repeats: int,
+                    conv_fn, res_align, crop_start: bool, cl: bool):
+    """LtxVideoUpsampler3d (vae.rs:1037-1170) — single body.  ``res_align``
+    delays the depth-to-space residual to match the conv branch in stream
+    mode (identity for block mode); ``crop_start`` applies the causal
+    ``st-1`` output crop (always in block mode, stream-start only)."""
     st, sh, sw = stride
     res = None
     if residual:
-        res = _depth_to_space(x, st, sh, sw)
+        res = _depth_to_space(res_align(x), st, sh, sw, cl=cl)
         if channel_repeats > 1:
-            res = jnp.tile(res, (1, channel_repeats, 1, 1, 1))
-        res = res[:, :, st - 1 :]
+            res = _tile_channels(res, channel_repeats, cl)
+        if crop_start:
+            res = _crop_t(res, st - 1, cl)
 
-    h = _conv(p["conv"], x, causal=causal)
-    h = _depth_to_space(h, st, sh, sw)
-    h = h[:, :, st - 1 :]
+    h = _depth_to_space(conv_fn(x), st, sh, sw, cl=cl)
+    if crop_start:
+        h = _crop_t(h, st - 1, cl)
     if res is not None:
         h = h + res
     return h
+
+
+def _upsampler(p, x, stride, residual: bool, channel_repeats: int,
+               causal=True):
+    return _upsampler_core(
+        p, x, stride, residual, channel_repeats,
+        conv_fn=lambda y: _conv(p["conv"], y, causal=causal),
+        res_align=lambda y: y, crop_start=True, cl=False,
+    )
+
+
+def _upsampler_cl(p, x, stride, residual: bool, channel_repeats: int,
+                  causal=True):
+    return _upsampler_core(
+        p, x, stride, residual, channel_repeats,
+        conv_fn=lambda y: _conv_cl(p["conv"], y, causal=causal),
+        res_align=lambda y: y, crop_start=True, cl=True,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -229,8 +339,15 @@ def _patchify(x, p: int, pt: int):
     return x.reshape(b, c * pt * p * p, f // pt, h // p, w // p)
 
 
-def _unpatchify(x, p: int, pt: int):
-    """inverse (vae.rs:1626-1654)."""
+def _unpatchify(x, p: int, pt: int, *, cl: bool = False):
+    """Inverse of _patchify (vae.rs:1626-1654); channel order [c,pt,pw,ph]
+    in both layouts."""
+    if cl:
+        b, f, h, w, c = x.shape
+        out_c = c // (pt * p * p)
+        x = x.reshape(b, f, h, w, out_c, pt, p, p)  # [..., c, pt, pW, pH]
+        x = x.transpose(0, 1, 5, 2, 7, 3, 6, 4)  # [B,F,pt,H,pH,W,pW,c]
+        return x.reshape(b, f * pt, h * p, w * p, out_c)
     b, c, f, h, w = x.shape
     out_c = c // (pt * p * p)
     x = x.reshape(b, out_c, pt, p, p, f, h, w)
@@ -261,7 +378,7 @@ def encoder_forward(params, cfg: LtxVaeConfig, x):
     for rp in params["mid_block"]["resnets"]:
         h = _resnet_block(rp, cfg, h, causal=causal)
 
-    h = _rms_norm_cf(h, 1e-8, params.get("norm_out", {}).get("weight") if params.get("norm_out") else None)
+    h = _rms_norm(h, 1e-8, params.get("norm_out", {}).get("weight") if params.get("norm_out") else None)
     h = silu(h)
     h = _conv(params["conv_out"], h, causal=causal)
 
@@ -282,11 +399,10 @@ def _temb_scaled(params, temb):
     return t
 
 
-def _block_temb(block_params, temb_scaled, width, dtype):
+def _block_temb_flat(block_params, temb_scaled, dtype):
     if temb_scaled is None or block_params.get("time_embedder") is None:
         return None
-    e = _time_embedder(block_params["time_embedder"], temb_scaled, dtype)
-    return e.reshape(e.shape[0], width * 4, 1, 1, 1)
+    return _time_embedder(block_params["time_embedder"], temb_scaled, dtype)
 
 
 def _decoder_geometry(cfg: LtxVaeConfig):
@@ -297,6 +413,40 @@ def _decoder_geometry(cfg: LtxVaeConfig):
     return boc, sts, upr, upf
 
 
+def _decoder_head_walk(params, cfg: LtxVaeConfig, h, temb_scaled, dtype,
+                       conv_in, resnet, upsampler, stop: str):
+    """The decoder-head traversal (vae.rs:1488-1619), shared by the block,
+    pre-ups, and streaming variants.  ``resnet(site, p, h, temb)`` and
+    ``upsampler(i, p, h, stride, residual, channel_repeats)`` carry layout
+    and cache behavior; ``stop`` is 'tail' (break after the last upsampler
+    — its resnets belong to the tail) or 'last_ups' (break before it)."""
+    h = conv_in(params["conv_in"], h)
+
+    mid = params["mid_block"]
+    mt = _block_temb_flat(mid, temb_scaled, dtype)
+    for k, rp in enumerate(mid["resnets"]):
+        h = resnet(("mid", k), rp, h, mt)
+
+    boc, sts, upr, upf = _decoder_geometry(cfg)
+    n_up = len(params["up_blocks"])
+    for i, bp in enumerate(params["up_blocks"]):
+        last = i == n_up - 1
+        if last and stop == "last_ups":
+            break
+        out_ch = boc[i] // upf[i]
+        ut = _block_temb_flat(bp, temb_scaled, dtype)
+        stride = (2, 2, 2) if sts[i] else (1, 2, 2)
+        in_ch = out_ch * upf[i]
+        channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
+        h = upsampler(i, bp["upsamplers"][0], h, stride, upr[i],
+                      channel_repeats)
+        if last:
+            break  # the last block's resnets belong to the tail
+        for k, rp in enumerate(bp["resnets"]):
+            h = resnet(("up", i, k), rp, h, ut)
+    return h
+
+
 def decoder_head_forward(params, cfg: LtxVaeConfig, z, temb=None,
                          noise_key=None):
     """conv_in → mid → up blocks, STOPPING before the last up-block's
@@ -305,32 +455,51 @@ def decoder_head_forward(params, cfg: LtxVaeConfig, z, temb=None,
     temporal-conv pipeline that can run in exact halo chunks."""
     causal = cfg.decoder_causal
     dtype = params["conv_in"]["weight"].dtype
-    z = z.astype(dtype)
+    return _decoder_head_walk(
+        params, cfg, z.astype(dtype), _temb_scaled(params, temb), dtype,
+        conv_in=lambda p, h: _conv(p, h, causal=causal),
+        resnet=lambda site, p, h, t: _resnet_block(
+            p, cfg, h, t, causal=causal, noise_key=noise_key),
+        upsampler=lambda i, p, h, st, res, reps: _upsampler(
+            p, h, st, res, reps, causal=causal),
+        stop="tail",
+    )
 
-    h = _conv(params["conv_in"], z, causal=causal)
-    temb_scaled = _temb_scaled(params, temb)
 
-    mid = params["mid_block"]
-    mt = _block_temb(mid, temb_scaled, h.shape[1], dtype)
-    for rp in mid["resnets"]:
-        h = _resnet_block(rp, cfg, h, mt, causal=causal, noise_key=noise_key)
+def _tail_modulation(params, cfg: LtxVaeConfig, h, temb_scaled, dtype,
+                     cl: bool):
+    """Output norm + decoder-level scale_shift_table modulation
+    (vae.rs:1687-1723)."""
+    h = _rms_norm(h, 1e-8, cl=cl)
+    if (
+        temb_scaled is not None
+        and params.get("time_embedder") is not None
+        and params.get("scale_shift_table") is not None
+    ):
+        e = _time_embedder(params["time_embedder"], temb_scaled, dtype)  # [B,2C]
+        c = params["scale_shift_table"].shape[1]
+        e = e.reshape(-1, 2, c) + params["scale_shift_table"][None].astype(dtype)
+        if cl:
+            shift = e[:, 0][:, None, None, None, :]
+            scale = e[:, 1][:, None, None, None, :]
+        else:
+            shift = e[:, 0][:, :, None, None, None]
+            scale = e[:, 1][:, :, None, None, None]
+        h = h * (1.0 + scale) + shift
+    return silu(h)
 
-    boc, sts, upr, upf = _decoder_geometry(cfg)
-    n_up = len(params["up_blocks"])
-    for i, bp in enumerate(params["up_blocks"]):
-        out_ch = boc[i] // upf[i]
-        ut = _block_temb(bp, temb_scaled, out_ch, dtype)
-        stride = (2, 2, 2) if sts[i] else (1, 2, 2)
-        in_ch = out_ch * upf[i]
-        channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
-        h = _upsampler(
-            bp["upsamplers"][0], h, stride, upr[i], channel_repeats, causal=causal
-        )
-        if i == n_up - 1:
-            break  # the last block's resnets belong to the tail
-        for rp in bp["resnets"]:
-            h = _resnet_block(rp, cfg, h, ut, causal=causal, noise_key=noise_key)
-    return h
+
+def _decoder_tail_walk(params, cfg: LtxVaeConfig, h, temb_scaled, dtype,
+                       resnet, conv_out, cl: bool):
+    """Last up-block resnets + output modulation + conv_out + unpatchify
+    (vae.rs:1619-1727), shared by the block and streaming variants."""
+    bp = params["up_blocks"][-1]
+    ut = _block_temb_flat(bp, temb_scaled, dtype)
+    for k, rp in enumerate(bp["resnets"]):
+        h = resnet(k, rp, h, ut)
+    h = _tail_modulation(params, cfg, h, temb_scaled, dtype, cl)
+    h = conv_out(params["conv_out"], h)
+    return _unpatchify(h, cfg.patch_size, cfg.patch_size_t, cl=cl)
 
 
 def decoder_tail_forward(params, cfg: LtxVaeConfig, h, temb=None,
@@ -340,172 +509,25 @@ def decoder_tail_forward(params, cfg: LtxVaeConfig, h, temb=None,
     halo of one frame per conv makes chunked evaluation exact."""
     causal = cfg.decoder_causal
     dtype = params["conv_in"]["weight"].dtype
-    temb_scaled = _temb_scaled(params, temb)
-
-    boc, _, _, upf = _decoder_geometry(cfg)
-    i_last = len(params["up_blocks"]) - 1
-    bp = params["up_blocks"][i_last]
-    ut = _block_temb(bp, temb_scaled, boc[i_last] // upf[i_last], dtype)
-    for rp in bp["resnets"]:
-        h = _resnet_block(rp, cfg, h, ut, causal=causal, noise_key=noise_key)
-
-    h = _rms_norm_cf(h, 1e-8)
-    if (
-        temb_scaled is not None
-        and params.get("time_embedder") is not None
-        and params.get("scale_shift_table") is not None
-    ):
-        e = _time_embedder(params["time_embedder"], temb_scaled, dtype)  # [B, 2C]
-        c = params["scale_shift_table"].shape[1]
-        e = e.reshape(-1, 2, c) + params["scale_shift_table"][None].astype(dtype)
-        shift = e[:, 0][:, :, None, None, None]
-        scale = e[:, 1][:, :, None, None, None]
-        h = h * (1.0 + scale) + shift
-
-    h = silu(h)
-    h = _conv(params["conv_out"], h, causal=causal)
-    return _unpatchify(h, cfg.patch_size, cfg.patch_size_t)
+    return _decoder_tail_walk(
+        params, cfg, h, _temb_scaled(params, temb), dtype,
+        resnet=lambda k, p, hh, t: _resnet_block(
+            p, cfg, hh, t, causal=causal, noise_key=noise_key),
+        conv_out=lambda p, hh: _conv(p, hh, causal=causal),
+        cl=False,
+    )
 
 
 # ---------------------------------------------------------------------------
 # channels-last decoder (production path)
 #
-# Same math as the NCDHW decoder above (which stays as the parity oracle),
-# but every tensor is [B, T, H, W, C]:
-# - convs use causal_conv3d_cl (kt NHWC conv2d taps; 158-165 TF/s vs 90-117
-#   for XLA's NCDHW conv3d at the decoder's hot stages — see
-#   scripts/profile_conv_variants.py),
-# - channel norms reduce over the LANE axis instead of a strided middle axis.
-# Interfaces stay NCDHW: z is transposed on entry, video on exit.
+# Same bodies as the NCDHW decoder above (which stays as the parity
+# oracle), with cl=True: convs use causal_conv3d_cl (kt NHWC conv2d taps;
+# 158-165 TF/s vs 90-117 for XLA's NCDHW conv3d at the decoder's hot
+# stages — scripts/profile_conv_variants.py) and channel norms reduce over
+# the LANE axis.  Interfaces stay NCDHW: z is transposed on entry, video
+# on exit.
 # ---------------------------------------------------------------------------
-
-
-def _rms_norm_cl(x, eps: float = 1e-8, weight=None):
-    """RMSNorm over the trailing channel axis of [B,T,H,W,C], f32 internals
-    (vae.rs:148-153)."""
-    xf = x.astype(jnp.float32)
-    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    y = (xf / jnp.sqrt(ms + jnp.float32(eps))).astype(x.dtype)
-    if weight is not None:
-        y = y * weight.astype(x.dtype)
-    return y
-
-
-def _layer_norm_cl(x, eps: float, weight=None, bias=None):
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    y = (xc / jnp.sqrt(var + jnp.float32(eps))).astype(x.dtype)
-    if weight is not None:
-        y = y * weight.astype(x.dtype)
-    if bias is not None:
-        y = y + bias.astype(x.dtype)
-    return y
-
-
-def _conv_cl(p, x, stride=(1, 1, 1), causal=True):
-    return causal_conv3d_cl(
-        x, p["weight"], p.get("bias"), stride=stride, causal=causal
-    )
-
-
-def _resnet_block_cl(p, cfg, x, temb2=None, causal=True, noise_key=None):
-    """LtxVideoResnetBlock3d (vae.rs:584-822), channels-last.
-
-    ``temb2``: [B, 4C] block-projected timestep embedding or None.
-    """
-    h = _rms_norm_cl(x, 1e-8)
-
-    if p.get("scale_shift_table") is not None and temb2 is not None:
-        tbl = p["scale_shift_table"]  # [4, C]
-        b = temb2.shape[0]
-        c = tbl.shape[1]
-        t = temb2.reshape(b, 4, c) + tbl[None].astype(temb2.dtype)
-        t = t[:, :, None, None, None, :]  # [B,4,1,1,1,C]
-        shift1, scale1, shift2, scale2 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
-    else:
-        shift1 = scale1 = shift2 = scale2 = None
-
-    if shift1 is not None:
-        h = h * (1.0 + scale1.astype(h.dtype)) + shift1.astype(h.dtype)
-    h = silu(h)
-    h = _conv_cl(p["conv1"], h, causal=causal)
-
-    if p.get("per_channel_scale1") is not None and noise_key is not None:
-        noise_key, sub = jax.random.split(noise_key)
-        noise = jax.random.normal(sub, h.shape[2:4], h.dtype)
-        h = h + noise[None, None, :, :, None] * p["per_channel_scale1"].astype(
-            h.dtype
-        ).reshape(1, 1, 1, 1, -1)
-
-    h = _rms_norm_cl(h, 1e-8)
-    if shift2 is not None:
-        h = h * (1.0 + scale2.astype(h.dtype)) + shift2.astype(h.dtype)
-    h = silu(h)
-    h = _conv_cl(p["conv2"], h, causal=causal)
-
-    if p.get("per_channel_scale2") is not None and noise_key is not None:
-        noise_key, sub = jax.random.split(noise_key)
-        noise = jax.random.normal(sub, h.shape[2:4], h.dtype)
-        h = h + noise[None, None, :, :, None] * p["per_channel_scale2"].astype(
-            h.dtype
-        ).reshape(1, 1, 1, 1, -1)
-
-    shortcut = x
-    if p.get("norm3") is not None:
-        shortcut = _layer_norm_cl(
-            shortcut, cfg.resnet_eps, p["norm3"].get("weight"), p["norm3"].get("bias")
-        )
-    elif p.get("conv_shortcut") is not None:
-        shortcut = _layer_norm_cl(shortcut, cfg.resnet_eps)
-    if p.get("conv_shortcut") is not None:
-        shortcut = _conv_cl(p["conv_shortcut"], shortcut, causal=causal)
-    return h + shortcut
-
-
-def _depth_to_space_cl(y, st, sh, sw):
-    """Channel order matches _depth_to_space: c = c_out-major, then
-    (st, sh, sw) (vae.rs:1106-1158)."""
-    b, t, hgt, wid, c = y.shape
-    c_out = c // (st * sh * sw)
-    y = y.reshape(b, t, hgt, wid, c_out, st, sh, sw)
-    y = y.transpose(0, 1, 5, 2, 6, 3, 7, 4)  # [B,T,st,H,sh,W,sw,C']
-    return y.reshape(b, t * st, hgt * sh, wid * sw, c_out)
-
-
-def _upsampler_cl(p, x, stride, residual: bool, channel_repeats: int,
-                  causal=True):
-    st, sh, sw = stride
-    res = None
-    if residual:
-        res = _depth_to_space_cl(x, st, sh, sw)
-        if channel_repeats > 1:
-            res = jnp.tile(res, (1, 1, 1, 1, channel_repeats))
-        res = res[:, st - 1 :]
-
-    h = _conv_cl(p["conv"], x, causal=causal)
-    h = _depth_to_space_cl(h, st, sh, sw)
-    h = h[:, st - 1 :]
-    if res is not None:
-        h = h + res
-    return h
-
-
-def _unpatchify_cl(x, p: int, pt: int):
-    """[B,F,H,W,C] with C ordered [c, pt, p_w, p_h] -> [B,F*pt,H*p,W*p,c]
-    (vae.rs:1626-1654)."""
-    b, f, h, w, c = x.shape
-    out_c = c // (pt * p * p)
-    x = x.reshape(b, f, h, w, out_c, pt, p, p)  # [..., c, pt, pW, pH]
-    x = x.transpose(0, 1, 5, 2, 7, 3, 6, 4)  # [B,F,pt,H,pH,W,pW,c]
-    return x.reshape(b, f * pt, h * p, w * p, out_c)
-
-
-def _block_temb_flat(block_params, temb_scaled, dtype):
-    if temb_scaled is None or block_params.get("time_embedder") is None:
-        return None
-    return _time_embedder(block_params["time_embedder"], temb_scaled, dtype)
 
 
 def decoder_head_forward_cl(params, cfg: LtxVaeConfig, z, temb=None,
@@ -515,32 +537,15 @@ def decoder_head_forward_cl(params, cfg: LtxVaeConfig, z, temb=None,
     causal = cfg.decoder_causal
     dtype = params["conv_in"]["weight"].dtype
     h = jnp.transpose(z.astype(dtype), (0, 2, 3, 4, 1))
-
-    h = _conv_cl(params["conv_in"], h, causal=causal)
-    temb_scaled = _temb_scaled(params, temb)
-
-    mid = params["mid_block"]
-    mt = _block_temb_flat(mid, temb_scaled, dtype)
-    for rp in mid["resnets"]:
-        h = _resnet_block_cl(rp, cfg, h, mt, causal=causal, noise_key=noise_key)
-
-    boc, sts, upr, upf = _decoder_geometry(cfg)
-    n_up = len(params["up_blocks"])
-    for i, bp in enumerate(params["up_blocks"]):
-        out_ch = boc[i] // upf[i]
-        ut = _block_temb_flat(bp, temb_scaled, dtype)
-        stride = (2, 2, 2) if sts[i] else (1, 2, 2)
-        in_ch = out_ch * upf[i]
-        channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
-        h = _upsampler_cl(
-            bp["upsamplers"][0], h, stride, upr[i], channel_repeats, causal=causal
-        )
-        if i == n_up - 1:
-            break  # the last block's resnets belong to the tail
-        for rp in bp["resnets"]:
-            h = _resnet_block_cl(rp, cfg, h, ut, causal=causal,
-                                 noise_key=noise_key)
-    return h
+    return _decoder_head_walk(
+        params, cfg, h, _temb_scaled(params, temb), dtype,
+        conv_in=lambda p, hh: _conv_cl(p, hh, causal=causal),
+        resnet=lambda site, p, hh, t: _resnet_block_cl(
+            p, cfg, hh, t, causal=causal, noise_key=noise_key),
+        upsampler=lambda i, p, hh, st, res, reps: _upsampler_cl(
+            p, hh, st, res, reps, causal=causal),
+        stop="tail",
+    )
 
 
 def decoder_tail_forward_cl(params, cfg: LtxVaeConfig, h, temb=None,
@@ -549,46 +554,51 @@ def decoder_tail_forward_cl(params, cfg: LtxVaeConfig, h, temb=None,
     video [B,3,F,H,W] (NCDHW on exit)."""
     causal = cfg.decoder_causal
     dtype = params["conv_in"]["weight"].dtype
-    temb_scaled = _temb_scaled(params, temb)
+    out = _decoder_tail_walk(
+        params, cfg, h, _temb_scaled(params, temb), dtype,
+        resnet=lambda k, p, hh, t: _resnet_block_cl(
+            p, cfg, hh, t, causal=causal, noise_key=noise_key),
+        conv_out=lambda p, hh: _conv_cl(p, hh, causal=causal),
+        cl=True,
+    )
+    return jnp.transpose(out, (0, 4, 1, 2, 3))
 
-    i_last = len(params["up_blocks"]) - 1
-    bp = params["up_blocks"][i_last]
-    ut = _block_temb_flat(bp, temb_scaled, dtype)
-    for rp in bp["resnets"]:
-        h = _resnet_block_cl(rp, cfg, h, ut, causal=causal, noise_key=noise_key)
 
-    h = _rms_norm_cl(h, 1e-8)
-    if (
-        temb_scaled is not None
-        and params.get("time_embedder") is not None
-        and params.get("scale_shift_table") is not None
-    ):
-        e = _time_embedder(params["time_embedder"], temb_scaled, dtype)  # [B,2C]
-        c = params["scale_shift_table"].shape[1]
-        e = e.reshape(-1, 2, c) + params["scale_shift_table"][None].astype(dtype)
-        shift = e[:, 0][:, None, None, None, :]
-        scale = e[:, 1][:, None, None, None, :]
-        h = h * (1.0 + scale) + shift
-
-    h = silu(h)
-    h = _conv_cl(params["conv_out"], h, causal=causal)
-    h = _unpatchify_cl(h, cfg.patch_size, cfg.patch_size_t)
-    return jnp.transpose(h, (0, 4, 1, 2, 3))
+def decoder_head_pre_ups_forward_cl(params, cfg: LtxVaeConfig, z, temb=None,
+                                    noise_key=None):
+    """decoder_head_forward_cl STOPPING before the last up-block's
+    upsampler: everything here runs at <= half the final resolution, so its
+    activation peak is ~4x smaller than the full head's.  Pairs with
+    decoder_ups_tail_stream_cl, which streams the remaining (memory-
+    dominant) last upsampler + tail."""
+    causal = cfg.decoder_causal
+    dtype = params["conv_in"]["weight"].dtype
+    h = jnp.transpose(z.astype(dtype), (0, 2, 3, 4, 1))
+    return _decoder_head_walk(
+        params, cfg, h, _temb_scaled(params, temb), dtype,
+        conv_in=lambda p, hh: _conv_cl(p, hh, causal=causal),
+        resnet=lambda site, p, hh, t: _resnet_block_cl(
+            p, cfg, hh, t, causal=causal, noise_key=noise_key),
+        upsampler=lambda i, p, hh, st, res, reps: _upsampler_cl(
+            p, hh, st, res, reps, causal=causal),
+        stop="last_ups",
+    )
 
 
 # ---------------------------------------------------------------------------
-# streaming tail (overlap-save): exact chunked decode with ZERO recompute
+# streaming decoder (overlap-save): exact chunked decode with ZERO recompute
 #
 # The halo-chunked tail (tail_chunk_bounds below) reprocesses `halo` frames
 # per chunk boundary; for small chunks the halo dominates (22 extra frames
-# per chunk at the production tail).  The streaming tail instead carries each
-# temporal conv's last (kt-1) INPUT frames as explicit state between chunks
-# (overlap-save), so every frame is convolved exactly once: identical math
-# to the unchunked tail, O(chunk) activation memory in T, and chunk count
-# free of compute overhead — this is what lets the 13B-resident chip decode
-# full frames instead of spatial tiles, and decodes unbounded-length video
-# in constant memory (the reference's temporal tiling BLENDS overlaps,
-# vae.rs:1927-2434 — approximate; this is exact).
+# per chunk at the production tail).  The streaming variants instead carry
+# each temporal conv's last (kt-1) INPUT frames as explicit state between
+# chunks (overlap-save), so every frame is convolved exactly once:
+# identical math to the unchunked decoder, O(chunk) activation memory in T,
+# and chunk count free of compute overhead — this is what lets the
+# 13B-resident chip decode full frames instead of spatial tiles, and
+# decodes unbounded-length video in constant memory (the reference's
+# temporal tiling BLENDS overlaps, vae.rs:1927-2434 — approximate; this is
+# exact).
 #
 # Stream calculus (symmetric kt=3, replicate edges, the decoder's config —
 # decoder_causal=False): a conv consuming chunk frames [a, b) with cached
@@ -597,6 +607,10 @@ def decoder_tail_forward_cl(params, cfg: LtxVaeConfig, h, temb=None,
 # the last chunk appends one replicated frame and flushes (emits t+1).
 # Residual adds re-align via a pure 2-frame delay register on the shortcut.
 # Three programs total (first/mid/last), each jitted once per shape.
+#
+# The streaming resnet/upsampler/head/tail are the SAME bodies as the block
+# variants above — the only difference is the injected conv callables,
+# which thread a per-conv cache through `_conv_stream_cl`.
 # ---------------------------------------------------------------------------
 
 
@@ -632,83 +646,57 @@ def _delay_stream(x, cache, n: int, mode):
 
 
 def _resnet_stream_cl(p, cfg, x, st, mode, temb2=None, noise_key=None):
-    """Streaming twin of _resnet_block_cl: two conv delays (1 frame each)
-    plus a 2-frame shortcut delay.  State: {"c1","c2","sc"}."""
-    h = _rms_norm_cl(x, 1e-8)
-    if p.get("scale_shift_table") is not None and temb2 is not None:
-        tbl = p["scale_shift_table"]
-        b = temb2.shape[0]
-        c = tbl.shape[1]
-        t = temb2.reshape(b, 4, c) + tbl[None].astype(temb2.dtype)
-        t = t[:, :, None, None, None, :]
-        shift1, scale1, shift2, scale2 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
-    else:
-        shift1 = scale1 = shift2 = scale2 = None
+    """Streaming resnet: _resnet_core with cache-threading convs — two conv
+    delays (1 frame each) plus a 2-frame shortcut delay.  The [H, W]
+    spatial noise is shared across T (vae.rs:741-753), so it is identical
+    per chunk as long as every chunk replays the same key.  State:
+    {"c1","c2","sc"}."""
+    new = {}
 
-    if shift1 is not None:
-        h = h * (1.0 + scale1.astype(h.dtype)) + shift1.astype(h.dtype)
-    h = silu(h)
-    h, c1 = _conv_stream_cl(p["conv1"], h, st["c1"], mode)
+    def conv_c(name):
+        def run(h):
+            y, new[name] = _conv_stream_cl(p[name.replace("c", "conv")],
+                                           h, st[name], mode)
+            return y
+        return run
 
-    if p.get("per_channel_scale1") is not None and noise_key is not None:
-        # [H, W] spatial noise shared across T (vae.rs:741-753): identical
-        # per chunk as long as every chunk replays the same key; the split
-        # sequence mirrors _resnet_block_cl exactly
-        noise_key, sub = jax.random.split(noise_key)
-        noise = jax.random.normal(sub, h.shape[2:4], h.dtype)
-        h = h + noise[None, None, :, :, None] * p["per_channel_scale1"].astype(
-            h.dtype
-        ).reshape(1, 1, 1, 1, -1)
+    def shortcut_align(s):
+        s, new["sc"] = _delay_stream(s, st["sc"], 2, mode)
+        return s
 
-    h = _rms_norm_cl(h, 1e-8)
-    if shift2 is not None:
-        h = h * (1.0 + scale2.astype(h.dtype)) + shift2.astype(h.dtype)
-    h = silu(h)
-    h, c2 = _conv_stream_cl(p["conv2"], h, st["c2"], mode)
-
-    if p.get("per_channel_scale2") is not None and noise_key is not None:
-        noise_key, sub = jax.random.split(noise_key)
-        noise = jax.random.normal(sub, h.shape[2:4], h.dtype)
-        h = h + noise[None, None, :, :, None] * p["per_channel_scale2"].astype(
-            h.dtype
-        ).reshape(1, 1, 1, 1, -1)
-
-    shortcut = x
-    if p.get("norm3") is not None:
-        shortcut = _layer_norm_cl(
-            shortcut, cfg.resnet_eps, p["norm3"].get("weight"),
-            p["norm3"].get("bias"),
-        )
-    elif p.get("conv_shortcut") is not None:
-        shortcut = _layer_norm_cl(shortcut, cfg.resnet_eps)
-    if p.get("conv_shortcut") is not None:
+    out = _resnet_core(
+        p, cfg, x, temb2,
+        conv1=conv_c("c1"), conv2=conv_c("c2"),
         # 1x1x1 conv: pointwise in T, no cache needed
-        shortcut = _conv_cl(p["conv_shortcut"], shortcut, causal=False)
-    shortcut, sc = _delay_stream(shortcut, st["sc"], 2, mode)
-    return h + shortcut, {"c1": c1, "c2": c2, "sc": sc}
+        shortcut_conv=lambda s: _conv_cl(p["conv_shortcut"], s, causal=False),
+        shortcut_align=shortcut_align, cl=True, noise_key=noise_key,
+    )
+    return out, new
 
 
 def _upsampler_stream_cl(p, x, stt, stride, residual: bool,
                          channel_repeats: int, mode):
-    """Streaming twin of _upsampler_cl.  The conv path delays 1 input
-    frame; the depth-to-space residual is pointwise per input frame, so it
-    re-aligns through a 1-frame delay register.  The global ``st-1`` output
-    crop applies only at the stream start.  State: {"conv", "res"}."""
-    st, sh, sw = stride
-    y, c_conv = _conv_stream_cl(p["conv"], x, stt["conv"], mode)
-    res = None
-    c_delay = stt.get("res")  # keep state structure stable when residual off
-    if residual:
-        xd, c_delay = _delay_stream(x, stt["res"], 1, mode)
-        res = _depth_to_space_cl(xd, st, sh, sw)
-        if channel_repeats > 1:
-            res = jnp.tile(res, (1, 1, 1, 1, channel_repeats))
-    h = _depth_to_space_cl(y, st, sh, sw)
-    if res is not None:
-        h = h + res
-    if st > 1 and mode in ("first", "single"):
-        h = h[:, st - 1 :]
-    return h, {"conv": c_conv, "res": c_delay}
+    """Streaming upsampler: _upsampler_core with a cache-threading conv.
+    The conv path delays 1 input frame; the depth-to-space residual is
+    pointwise per input frame, so it re-aligns through a 1-frame delay
+    register.  The global ``st-1`` output crop applies only at the stream
+    start.  State: {"conv", "res"}."""
+    new = {"res": stt.get("res")}  # keep state structure stable when off
+
+    def conv_fn(y):
+        out, new["conv"] = _conv_stream_cl(p["conv"], y, stt["conv"], mode)
+        return out
+
+    def res_align(y):
+        out, new["res"] = _delay_stream(y, stt["res"], 1, mode)
+        return out
+
+    h = _upsampler_core(
+        p, x, stride, residual, channel_repeats,
+        conv_fn=conv_fn, res_align=res_align,
+        crop_start=(stride[0] > 1 and mode in ("first", "single")), cl=True,
+    )
+    return h, new
 
 
 def head_stream_init(params, cfg: LtxVaeConfig, b: int, hgt: int, wid: int,
@@ -769,74 +757,32 @@ def decoder_head_stream_cl(params, cfg: LtxVaeConfig, z, state, mode,
     h = jnp.transpose(z.astype(dtype), (0, 2, 3, 4, 1))
     new = {"mid": [], "up": []}
 
-    h, new["conv_in"] = _conv_stream_cl(
-        params["conv_in"], h, state["conv_in"], mode
+    def conv_in(p, hh):
+        y, new["conv_in"] = _conv_stream_cl(p, hh, state["conv_in"], mode)
+        return y
+
+    def resnet(site, p, hh, t):
+        stt = (state["mid"][site[1]] if site[0] == "mid"
+               else state["up"][site[1]]["resnets"][site[2]])
+        y, ns = _resnet_stream_cl(p, cfg, hh, stt, mode, t, noise_key)
+        if site[0] == "mid":
+            new["mid"].append(ns)
+        else:
+            new["up"][site[1]]["resnets"].append(ns)
+        return y
+
+    def upsampler(i, p, hh, stride, res, reps):
+        y, us = _upsampler_stream_cl(
+            p, hh, state["up"][i]["ups"], stride, res, reps, mode
+        )
+        new["up"].append({"ups": us, "resnets": []})
+        return y
+
+    h = _decoder_head_walk(
+        params, cfg, h, _temb_scaled(params, temb), dtype,
+        conv_in=conv_in, resnet=resnet, upsampler=upsampler, stop="tail",
     )
-    temb_scaled = _temb_scaled(params, temb)
-
-    mid = params["mid_block"]
-    mt = _block_temb_flat(mid, temb_scaled, dtype)
-    for rp, st in zip(mid["resnets"], state["mid"]):
-        h, ns = _resnet_stream_cl(rp, cfg, h, st, mode, mt, noise_key)
-        new["mid"].append(ns)
-
-    boc, sts, upr, upf = _decoder_geometry(cfg)
-    n_up = len(params["up_blocks"])
-    for i, bp in enumerate(params["up_blocks"]):
-        out_ch = boc[i] // upf[i]
-        ut = _block_temb_flat(bp, temb_scaled, dtype)
-        stride = (2, 2, 2) if sts[i] else (1, 2, 2)
-        in_ch = out_ch * upf[i]
-        channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
-        up_new = {"resnets": []}
-        h, up_new["ups"] = _upsampler_stream_cl(
-            bp["upsamplers"][0], h, state["up"][i]["ups"], stride, upr[i],
-            channel_repeats, mode,
-        )
-        if i < n_up - 1:
-            for rp, st in zip(bp["resnets"], state["up"][i]["resnets"]):
-                h, ns = _resnet_stream_cl(rp, cfg, h, st, mode, ut, noise_key)
-                up_new["resnets"].append(ns)
-        new["up"].append(up_new)
     return h, new
-
-
-def decoder_head_pre_ups_forward_cl(params, cfg: LtxVaeConfig, z, temb=None,
-                                    noise_key=None):
-    """decoder_head_forward_cl STOPPING before the last up-block's
-    upsampler: everything here runs at <= half the final resolution, so its
-    activation peak is ~4x smaller than the full head's.  Pairs with
-    decoder_ups_tail_stream_cl, which streams the remaining (memory-
-    dominant) last upsampler + tail."""
-    causal = cfg.decoder_causal
-    dtype = params["conv_in"]["weight"].dtype
-    h = jnp.transpose(z.astype(dtype), (0, 2, 3, 4, 1))
-
-    h = _conv_cl(params["conv_in"], h, causal=causal)
-    temb_scaled = _temb_scaled(params, temb)
-
-    mid = params["mid_block"]
-    mt = _block_temb_flat(mid, temb_scaled, dtype)
-    for rp in mid["resnets"]:
-        h = _resnet_block_cl(rp, cfg, h, mt, causal=causal, noise_key=noise_key)
-
-    boc, sts, upr, upf = _decoder_geometry(cfg)
-    n_up = len(params["up_blocks"])
-    for i, bp in enumerate(params["up_blocks"]):
-        if i == n_up - 1:
-            break  # the last upsampler + resnets stream with the tail
-        out_ch = boc[i] // upf[i]
-        ut = _block_temb_flat(bp, temb_scaled, dtype)
-        stride = (2, 2, 2) if sts[i] else (1, 2, 2)
-        in_ch = out_ch * upf[i]
-        channel_repeats = (out_ch * stride[0] * stride[1] * stride[2]) // in_ch
-        h = _upsampler_cl(
-            bp["upsamplers"][0], h, stride, upr[i], channel_repeats, causal=causal
-        )
-        for rp in bp["resnets"]:
-            h = _resnet_block_cl(rp, cfg, h, ut, causal=causal,
-                                 noise_key=noise_key)
-    return h
 
 
 def _last_ups_geometry(params, cfg: LtxVaeConfig):
@@ -932,33 +878,25 @@ def decoder_tail_stream_cl(params, cfg: LtxVaeConfig, h, state, mode,
             "padding; decoder_causal configs use tail_t_chunks halo mode"
         )
     dtype = params["conv_in"]["weight"].dtype
-    temb_scaled = _temb_scaled(params, temb)
-
-    bp = params["up_blocks"][-1]
-    ut = _block_temb_flat(bp, temb_scaled, dtype)
     new_res = []
-    for rp, st in zip(bp["resnets"], state["resnets"]):
-        h, ns = _resnet_stream_cl(rp, cfg, h, st, mode, ut, noise_key)
+    out_cache = {}
+
+    def resnet(k, p, hh, t):
+        y, ns = _resnet_stream_cl(p, cfg, hh, state["resnets"][k], mode, t,
+                                  noise_key)
         new_res.append(ns)
+        return y
 
-    h = _rms_norm_cl(h, 1e-8)
-    if (
-        temb_scaled is not None
-        and params.get("time_embedder") is not None
-        and params.get("scale_shift_table") is not None
-    ):
-        e = _time_embedder(params["time_embedder"], temb_scaled, dtype)
-        c = params["scale_shift_table"].shape[1]
-        e = e.reshape(-1, 2, c) + params["scale_shift_table"][None].astype(dtype)
-        shift = e[:, 0][:, None, None, None, :]
-        scale = e[:, 1][:, None, None, None, :]
-        h = h * (1.0 + scale) + shift
+    def conv_out(p, hh):
+        y, out_cache["out"] = _conv_stream_cl(p, hh, state["out"], mode)
+        return y
 
-    h = silu(h)
-    h, c_out = _conv_stream_cl(params["conv_out"], h, state["out"], mode)
-    h = _unpatchify_cl(h, cfg.patch_size, cfg.patch_size_t)
-    video = jnp.transpose(h, (0, 4, 1, 2, 3))
-    return video, {"resnets": new_res, "out": c_out}
+    out = _decoder_tail_walk(
+        params, cfg, h, _temb_scaled(params, temb), dtype,
+        resnet=resnet, conv_out=conv_out, cl=True,
+    )
+    video = jnp.transpose(out, (0, 4, 1, 2, 3))
+    return video, {"resnets": new_res, "out": out_cache["out"]}
 
 
 def tail_chunk_bounds(params, cfg: LtxVaeConfig, t_total: int,

@@ -686,6 +686,99 @@ def test_decoder_fullstream_is_exact(rng):
                                      n_chunks=3)
 
 
+def test_decoder_fullstream_unbounded_length_constant_memory(rng):
+    """Clip length is UNBOUNDED at constant activation memory: a 241-frame
+    decode (latent T=61) streams through per-mode step programs whose
+    shapes depend only on the CHUNK size — the mid-chunk program compiles
+    once and is reused for every additional chunk, so arbitrarily long
+    clips add zero new programs and zero new per-step memory (the
+    reference handles long clips by temporal tiling with blended — i.e.
+    approximate — overlaps, vae.rs:2358-2434; this is exact)."""
+    import jax
+
+    from candle_video_tpu.models.ltx_video import vae as V
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
+
+    cfg = V.LtxVaeConfig(
+        in_channels=3, out_channels=3, latent_channels=4,
+        block_out_channels=(8, 16, 32), decoder_block_out_channels=(8, 16),
+        spatiotemporal_scaling=(True, True),
+        decoder_spatiotemporal_scaling=(True, True),
+        layers_per_block=(1, 1, 2), decoder_layers_per_block=(2, 2, 2),
+        patch_size=2, patch_size_t=1,
+        downsample_types=("spatiotemporal", "spatiotemporal"),
+        decoder_upsample_residual=(True, True),
+        decoder_upsample_factor=(2, 2),
+        timestep_conditioning=True, decoder_causal=False,
+        spatial_compression_ratio=8, temporal_compression_ratio=4,
+    )
+    params = init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    temb = jnp.asarray([0.05], jnp.float32)
+
+    # per-mode jitted step programs shared across BOTH clip lengths below:
+    # shapes depend only on the chunk size, never on the total T
+    compiles = {"head": 0, "tail": 0}
+
+    def hstep_traced(p, c, s, tt):
+        compiles["head"] += 1
+        return V.decoder_head_stream_cl(p, cfg, c, s, "mid", tt)
+
+    def tstep_traced(p, c, s, tt):
+        compiles["tail"] += 1
+        return V.decoder_tail_stream_cl(p, cfg, c, s, "mid", tt)
+
+    hmid = jax.jit(hstep_traced)
+    tmid = jax.jit(tstep_traced)
+
+    def run(z, n_chunks):
+        def head_fn(c, s, mode):
+            if mode == "mid":
+                return hmid(params["decoder"], c, s, temb)
+            return V.decoder_head_stream_cl(params["decoder"], cfg, c, s,
+                                            mode, temb)
+
+        def tail_fn(c, s, mode):
+            if mode == "mid":
+                return tmid(params["decoder"], c, s, temb)
+            return V.decoder_tail_stream_cl(params["decoder"], cfg, c, s,
+                                            mode, temb)
+
+        return V.decoder_forward_fullstream(
+            params["decoder"], cfg, z, temb, n_chunks=n_chunks,
+            head_fn=head_fn, tail_fn=tail_fn,
+        )
+
+    # 241 output frames ((61-1)*tc+1, latent T=61), 5 chunks of <=13 frames
+    z61 = jnp.asarray(rng.normal(size=(1, 4, 61, 4, 4)), jnp.float32)
+    got = np.asarray(run(z61, 5))
+    assert got.shape[2] == 241
+    ref = np.asarray(
+        V.decoder_forward(params["decoder"], cfg, z61, temb)
+    )
+    # 1e-5: the jitted mid-chunk programs fuse differently than the eager
+    # first/last steps, so a handful of elements round differently at f32
+    # (observed max |d| 2.6e-6 over 740k elements); the overlap-save
+    # algebra itself is exact — a misaligned stream would diverge at O(1)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    # doubling the clip length re-uses the SAME mid-step programs: the jit
+    # traces once per chunk shape, so a 488-frame clip adds chunks, not
+    # programs (nor per-step memory)
+    traces_after_61 = dict(compiles)
+    z117 = jnp.concatenate([z61, z61[:, :, 1:57]], axis=2)  # T=117, 9 chunks
+    got2 = run(z117, 9)
+    assert got2.shape[2] == 465  # (117-1)*tc+1
+    assert compiles == traces_after_61, (
+        f"mid-chunk programs re-traced for a longer clip: {compiles} vs "
+        f"{traces_after_61} — per-step memory is no longer constant in T"
+    )
+    # spot-check the long clip's prefix equals the short clip's decode
+    # (identical latent prefix + identical stream state evolution)
+    np.testing.assert_allclose(
+        np.asarray(got2[:, :, :100]), ref[:, :, :100], atol=1e-5, rtol=1e-5
+    )
+
+
 def test_decoder_ups_tail_stream_is_exact(rng):
     """Stream split BEFORE the last upsampler: dense half-resolution
     prefix + streamed last-upsampler+tail — exact vs the plain decode
