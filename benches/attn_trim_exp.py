@@ -99,6 +99,18 @@ def main():
         ("nomax", dict(softmax_bound=bound)),
         ("bf16p", dict(scores_bf16=True)),
         ("nomax+bf16", dict(softmax_bound=bound, scores_bf16=True)),
+        ("auto", dict(softmax_bound="auto")),
+        # K_pad = 4992 = 39*128: valid chunk counts divide 39
+        ("auto+kc3", dict(softmax_bound="auto", k_chunks=3)),
+        ("auto+kc13", dict(softmax_bound="auto", k_chunks=13)),
+        ("auto+kc3+bq256", dict(softmax_bound="auto", k_chunks=3,
+                                block_q=256)),
+        ("auto+kc3+bq384", dict(softmax_bound="auto", k_chunks=3,
+                                block_q=384)),
+        ("auto+kc13+bq256", dict(softmax_bound="auto", k_chunks=13,
+                                 block_q=256)),
+        ("auto+kc13+bq512", dict(softmax_bound="auto", k_chunks=13,
+                                 block_q=512)),
     ]:
         t, out = timed(functools.partial(base, **kw), qs, ks, v)
         rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - reff))

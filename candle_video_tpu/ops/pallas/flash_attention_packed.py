@@ -93,6 +93,7 @@ def _kernel(
     head_dim,
     softmax_bound=None,
     scores_bf16=False,
+    k_chunks=1,
 ):
     split = qcs_ref is not None
     q = q_ref[0]  # [bq, L]   (L = heads_per_block * D lanes)
@@ -132,58 +133,91 @@ def _kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 1)
         head_of_lane = (lane // (head_dim // 2)) % n_heads
 
+    if kn_ref is not None:
+        # Fast softmax: a rigorous Cauchy-Schwarz upper bound replaces
+        # the row max — softmax is shift-invariant, so any shift >= the
+        # realized row max (and within the exp underflow headroom above
+        # it, ~86 nats for the bf16 p below) gives the EXACT result,
+        # and the full [bq, Kp] max reduction pass disappears.  The
+        # per-group bound arrives precomputed in SMEM
+        # (group_score_bounds — one fused square+reduce outside).
+        bi = pl.program_id(0) // kn_ref.shape[1]
+        grp = pl.program_id(0) % kn_ref.shape[1]
+        m_fixed = kn_ref[bi, grp]
+        if bias_ref is not None:
+            m_fixed = m_fixed + jnp.max(bias_ref[0, 0].astype(jnp.float32))
+    elif softmax_bound is not None:
+        # Static variant (A/B hook): same shift-invariance argument;
+        # the caller asserts the realized row max stays within ~40 of
+        # the bound (f32/bf16 exp headroom).
+        m_fixed = jnp.float32(softmax_bound)
+    else:
+        m_fixed = None  # per-row max (needs the full score tile at once)
+    if k_chunks > 1 and m_fixed is None:
+        raise ValueError("k_chunks > 1 requires a fixed softmax shift "
+                         "(softmax_bound); the row max is a two-pass")
+    kp_len = k.shape[0]
+    ck = kp_len // k_chunks if k_chunks > 1 else kp_len
+
     outs = []
     for h in range(n_heads):
         lo = h * head_dim
         if split and n_heads > 1:
             qh = jnp.where(head_of_lane == h, q, jnp.zeros_like(q))
-            kh = k
         else:
             qh = q[:, lo : lo + head_dim]
-            kh = k[:, lo : lo + head_dim]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, Kp]
-        s = s * scale
-        if bias_ref is not None:
-            s = s + bias_ref[0, 0][None, :].astype(jnp.float32)
-        if s.shape[1] != kv_len:  # mask padded key columns
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < kv_len, s, _NEG_INF)
-        if kn_ref is not None:
-            # Fast softmax: a rigorous Cauchy-Schwarz upper bound replaces
-            # the row max — softmax is shift-invariant, so any shift >= the
-            # realized row max (and within the exp underflow headroom above
-            # it, ~86 nats for the bf16 p below) gives the EXACT result,
-            # and the full [bq, Kp] max reduction pass disappears.  The
-            # per-group bound arrives precomputed in SMEM
-            # (group_score_bounds — one fused square+reduce outside).
-            bi = pl.program_id(0) // kn_ref.shape[1]
-            grp = pl.program_id(0) % kn_ref.shape[1]
-            m = kn_ref[bi, grp]
+
+        def score(kh_c, col0):
+            s = jax.lax.dot_general(
+                qh, kh_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bq, ck]
+            s = s * scale
             if bias_ref is not None:
-                m = m + jnp.max(bias_ref[0, 0].astype(jnp.float32))
-        elif softmax_bound is not None:
-            # Static variant (A/B hook): same shift-invariance argument;
-            # the caller asserts the realized row max stays within ~40 of
-            # the bound (f32/bf16 exp headroom).
-            m = jnp.float32(softmax_bound)
+                s = s + bias_ref[0, 0][None, col0 : col0 + s.shape[1]].astype(
+                    jnp.float32)
+            if col0 + s.shape[1] > kv_len:  # mask padded key columns
+                col = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < kv_len, s, _NEG_INF)
+            return s
+
+        def softmax_pv(s, m, v_c):
+            if scores_bf16:
+                # exp2 at bf16: halves the transcendental-input VMEM
+                # traffic; adds one bf16 rounding (quality-gated A/B)
+                p = jnp.exp2(((s - m) * jnp.float32(_LOG2E)).astype(
+                    jnp.bfloat16)).astype(jnp.float32)
+            else:
+                p = jnp.exp2((s - m) * jnp.float32(_LOG2E))
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v_c,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bq, D]
+            return pv, l
+
+        if k_chunks == 1:
+            kh = k if (split and n_heads > 1) else k[:, lo : lo + head_dim]
+            s = score(kh, 0)
+            m = m_fixed if m_fixed is not None else jnp.max(
+                s, axis=-1, keepdims=True)
+            pv, l = softmax_pv(s, m, v[:, lo : lo + head_dim])
         else:
-            m = jnp.max(s, axis=-1, keepdims=True)
-        if scores_bf16:
-            # exp2 at bf16: halves the transcendental-input VMEM traffic;
-            # adds one bf16 rounding to the scores (quality-gated A/B)
-            p = jnp.exp2(((s - m) * jnp.float32(_LOG2E)).astype(jnp.bfloat16))
-            p = p.astype(jnp.float32)
-        else:
-            p = jnp.exp2((s - m) * jnp.float32(_LOG2E))
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v[:, lo : lo + head_dim],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [bq, D]
+            # Fixed-shift softmax decomposes over key chunks (l and pv are
+            # plain sums), so the per-chunk exp2/sum (VPU) can overlap the
+            # neighbouring chunks' score/PV matmuls (MXU) — the one-block
+            # kernel serializes MXU → VPU → MXU per head instead.
+            pv = jnp.zeros((qh.shape[0], head_dim), jnp.float32)
+            l = jnp.zeros((qh.shape[0], 1), jnp.float32)
+            for c in range(k_chunks):
+                sl = slice(c * ck, (c + 1) * ck)
+                kh_c = k[sl] if (split and n_heads > 1) else \
+                    k[sl, lo : lo + head_dim]
+                s = score(kh_c, c * ck)
+                pv_c, l_c = softmax_pv(s, m_fixed, v[sl, lo : lo + head_dim])
+                pv = pv + pv_c
+                l = l + l_c
         outs.append(pv / l)
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
@@ -253,7 +287,7 @@ def packed_viable(s_len: int, kv_len: int, num_heads: int, head_dim: int) -> boo
     jax.jit,
     static_argnames=(
         "num_heads", "scale", "block_q", "interpret", "softmax_bound",
-        "scores_bf16", "lane_group_heads",
+        "scores_bf16", "lane_group_heads", "k_chunks",
     ),
 )
 def flash_attention_packed(
@@ -272,6 +306,9 @@ def flash_attention_packed(
     softmax_bound: float | str | None = None,  # "auto": in-kernel CS bound
     #   replaces the row-max pass; float: static bound (A/B); None: row max
     scores_bf16: bool = False,  # exp2 at bf16 (quality-gated A/B)
+    k_chunks: int = 1,  # >1: fixed-shift softmax over key chunks so the
+    #   per-chunk exp2/sum (VPU) overlaps adjacent chunks' matmuls (MXU);
+    #   requires softmax_bound ("auto" or static)
     lane_group_heads: int | None = None,  # heads per lane group (default
     #   128//D).  num_heads = ALL heads in one program — the short-K
     #   cross-attention blocking: k/v resident once per batch, every head's
@@ -294,6 +331,9 @@ def flash_attention_packed(
         raise ValueError("rope_split requires self-attention (kv_len == s_len)")
 
     kp = _round_up(kv_len, 128)
+    if k_chunks > 1 and (kp % k_chunks or (kp // k_chunks) % 128):
+        raise ValueError(
+            f"k_chunks={k_chunks} must split K_pad={kp} into 128-multiples")
     if block_q is None:
         budget = _SCORES_VMEM_BUDGET // (kp * 4)
         # split mode keeps the compact k-table + rotated-k scratch resident
@@ -372,7 +412,7 @@ def flash_attention_packed(
     kernel = functools.partial(
         _kernel, scale=scale, kv_len=kv_len, head_dim=head_dim,
         softmax_bound=None if auto_bound else softmax_bound,
-        scores_bf16=scores_bf16,
+        scores_bf16=scores_bf16, k_chunks=k_chunks,
     )
 
     def body(q_r, k_r, v_r, *rest):

@@ -205,6 +205,50 @@ def test_packed_auto_bound_matches_rowmax(rng):
     assert float(jnp.abs(ref_s - got_s).max()) < 1e-5
 
 
+def test_packed_k_chunks_matches_one_block(rng):
+    """k_chunks>1 (fixed-shift softmax decomposed over key chunks — the
+    MXU/VPU-overlap A/B hook) equals the one-block kernel bit-for-bit up to
+    f32 re-association: l and pv are plain sums under a fixed shift, so
+    chunking only reorders the accumulation.  Measured SLOWER than the
+    one-block kernel at S=4992 (benches/attn_trim_exp.py: kc3 ~1.1x auto —
+    Mosaic already overlaps the one-block pipeline) so it is NOT
+    dispatched, but the decomposition stays correct for other shapes."""
+    from candle_video_tpu.ops.pallas.flash_attention_packed import (
+        flash_attention_packed,
+    )
+
+    b, s, h, d = 1, 256, 4, 64
+    scale = 1.0 / np.sqrt(d)
+    q = jnp.asarray(rng.normal(size=(b, s, h * d)) * 3.0, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h * d)) * 3.0, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+
+    ref = flash_attention_packed(q, k, v, num_heads=h, scale=scale,
+                                 interpret=True, softmax_bound="auto")
+    got = flash_attention_packed(q, k, v, num_heads=h, scale=scale,
+                                 interpret=True, softmax_bound="auto",
+                                 k_chunks=2)
+    assert float(jnp.abs(ref - got).max()) < 1e-5
+
+    # with key bias and a kv_len that pads (mask straddles a chunk edge)
+    bias = jnp.asarray(
+        np.where(rng.random((b, 1, 1, s)) > 0.3, 0.0, -10000.0), jnp.float32
+    )
+    ref_b = flash_attention_packed(q, k, v, num_heads=h, scale=scale,
+                                   bias=bias, interpret=True,
+                                   softmax_bound="auto")
+    got_b = flash_attention_packed(q, k, v, num_heads=h, scale=scale,
+                                   bias=bias, interpret=True,
+                                   softmax_bound="auto", k_chunks=2)
+    assert float(jnp.abs(ref_b - got_b).max()) < 1e-5
+
+    # k_chunks without a fixed shift is rejected (row max is a two-pass)
+    import pytest
+    with pytest.raises(ValueError):
+        flash_attention_packed(q, k, v, num_heads=h, scale=scale,
+                               interpret=True, k_chunks=2)
+
+
 def test_score_head_map_covers_lane_layouts(rng):
     """The lane->head map used by the in-kernel bound matches the true head
     feature sets in both the natural and split lane layouts."""
