@@ -186,7 +186,11 @@ def bench_coldstart_subprocess():
         try:
             res = subprocess.run(
                 [sys.executable, "-m", "benches.coldstart"],
-                capture_output=True, text=True, timeout=1200, cwd=here,
+                capture_output=True, text=True, cwd=here,
+                # the cold run compiles the whole preset through the remote
+                # compiler (~400-900 s on a fresh VM); the warm run must be
+                # cache-bound, so a hang there should fail fast
+                timeout=2400 if tag == "coldstart_cold_s" else 1200,
             )
             line = [l for l in res.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
