@@ -195,6 +195,10 @@ def bench_coldstart_subprocess():
             line = [l for l in res.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
             results.append((tag, float(json.loads(line)["elapsed_s"])))
+            for sl in res.stderr.splitlines():  # stage attribution
+                if sl.startswith("[coldstart"):
+                    print(f"[bench {tag}] {sl}",
+                          file=__import__("sys").stderr, flush=True)
         except Exception as e:  # noqa: BLE001 — bench must survive
             print(f"[bench] {tag} skipped: {e}", file=__import__("sys").stderr,
                   flush=True)

@@ -29,7 +29,16 @@ os.environ.setdefault(
 )
 
 
+def _mark(name):
+    # stage attribution on stderr (the JSON contract on stdout is unchanged):
+    # separates interpreter+import, device attach, param build, and the
+    # generate() call (compiles + execution) in the startup total
+    print(f"[coldstart +{time.perf_counter() - T0:7.1f}s] {name}",
+          file=sys.stderr, flush=True)
+
+
 def main():
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -40,11 +49,16 @@ def main():
         zeros_transformer_params,
     )
 
+    _mark("imports done")
+    jax.devices()
+    _mark("device attached")
+
     full = get_config_by_version("0.9.8-2b-distilled")
     params = zeros_transformer_params(full.transformer, jnp.bfloat16)
     vae_params = init_vae_params(
         __import__("jax").random.PRNGKey(0), full.vae, jnp.bfloat16
     )
+    _mark("params built")
     pipe = P.LtxPipeline(
         config=full, transformer_params=params, vae_params=vae_params
     )
@@ -63,6 +77,7 @@ def main():
         vae_tail_stream_chunks=2,
     )
     np.asarray(video[0, 0, 0, 0, :1])  # first frame ready
+    _mark("first frame fetched")
     elapsed = time.perf_counter() - T0
     print(json.dumps({"elapsed_s": round(elapsed, 2)}), flush=True)
 
