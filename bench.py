@@ -180,6 +180,11 @@ def bench_coldstart_subprocess():
     import subprocess
     import sys
 
+    def relay_stages(stderr_text, tag):
+        for sl in (stderr_text or "").splitlines():  # stage attribution
+            if sl.startswith("[coldstart"):
+                print(f"[bench {tag}] {sl}", file=sys.stderr, flush=True)
+
     here = os.path.dirname(os.path.abspath(__file__))
     results = []
     for tag in ("coldstart_cold_s", "coldstart_s"):
@@ -192,16 +197,19 @@ def bench_coldstart_subprocess():
                 # cache-bound, so a hang there should fail fast
                 timeout=2400 if tag == "coldstart_cold_s" else 1200,
             )
+            # relay stage lines BEFORE parsing stdout: on a missing JSON
+            # line the stages show which stage stalled (ADVICE r4)
+            relay_stages(res.stderr, tag)
             line = [l for l in res.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
             results.append((tag, float(json.loads(line)["elapsed_s"])))
-            for sl in res.stderr.splitlines():  # stage attribution
-                if sl.startswith("[coldstart"):
-                    print(f"[bench {tag}] {sl}",
-                          file=__import__("sys").stderr, flush=True)
+        except subprocess.TimeoutExpired as e:
+            # TimeoutExpired carries the captured output up to the kill
+            relay_stages(e.stderr if isinstance(e.stderr, str) else
+                         (e.stderr or b"").decode(errors="replace"), tag)
+            print(f"[bench] {tag} skipped: {e}", file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001 — bench must survive
-            print(f"[bench] {tag} skipped: {e}", file=__import__("sys").stderr,
-                  flush=True)
+            print(f"[bench] {tag} skipped: {e}", file=sys.stderr, flush=True)
     for tag, v in results:
         _emit(tag, v, "s", None)
 

@@ -8,6 +8,13 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+echo "[presnapshot] building native/ (C++ GGUF-dequant + PCG32 kernels)..." >&2
+if ! make -C native >&2; then
+    # native build failure must not hide the suite result, but say so loudly:
+    # without the .so files the two bit-exactness tests silently skip
+    echo "[presnapshot] WARNING: native build failed — C++ parity tests will SKIP" >&2
+fi
+
 echo "[presnapshot] running full suite..." >&2
 python -m pytest tests/ -q --tb=short 2>&1 | tail -20
 rc=${PIPESTATUS[0]}
