@@ -1,15 +1,28 @@
 """Cold/warm start: wall-clock from process start to the first finished
-frame of a production-shape generation (512x768x97f, 1 denoise step).
+frame of a production-shape generation (512x768x97f, default preset).
 
 The reference brags ~2 s startup on its prebuilt CUDA binaries
 (/root/reference/README.md:57); a JAX process pays interpreter + jax import
-+ XLA compilation.  The persistent compilation cache
-(JAX_COMPILATION_CACHE_DIR) converts the dominant compile cost into a disk
-load, so the number that matters to a repeat CLI user is the WARM start —
-bench.py runs this script twice in fresh subprocesses and reports the
-second run as ``coldstart_s`` (the first, ``coldstart_cold_s``, pays any
-not-yet-cached compiles — on this tunnel every XLA compile is a remote
-RPC, which is what made round-3's first measurement 397 s).
++ XLA compilation.  bench.py runs this script twice in fresh subprocesses:
+the first (``coldstart_cold_s``) and a repeat (``coldstart_s``).
+
+Compile accounting (round-5): every stage line carries the number of XLA
+compilations and their summed wall-clock so far, so cache behavior is
+VISIBLE instead of inferred.  On a backend with a working persistent cache
+the repeat run shows ~0 compile seconds; on the axon tunnel the persistent
+cache cannot be used at all — executables deserialize but hang at first
+execution (see utils/compile_cache.py) — so both runs recompile and the
+counter documents exactly what they paid.  The round-4 "warm 79 s > cold
+54 s" inversion was this: no cache either run (the env var JAX 0.9 ignores
+was the only thing set), pure tunnel noise between two full recompiles.
+
+Cold-start structure on the tunnel (remote XLA compiles):
+  - params: ONE jitted builder per model (zeros DiT, hash-normal VAE)
+  - denoise: one scan program (~4 s compile)
+  - decode: head + streaming-tail step programs (the big compile, ~15-25 s)
+    — compiled on a BACKGROUND thread while denoise compiles/runs
+    (generate(decode_warmup=True)), so the critical path is
+    max(decode_compile, denoise_compile + denoise_run).
 
 Run: python -m benches.coldstart   (prints one JSON line with the elapsed)
 """
@@ -17,27 +30,29 @@ Run: python -m benches.coldstart   (prints one JSON line with the elapsed)
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 
 T0 = time.perf_counter()  # process-level: import costs count
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.expanduser("~/.cache/candle_video_tpu_xla"),
-)
+_COUNTER = None
 
 
 def _mark(name):
     # stage attribution on stderr (the JSON contract on stdout is unchanged):
     # separates interpreter+import, device attach, param build, and the
     # generate() call (compiles + execution) in the startup total
-    print(f"[coldstart +{time.perf_counter() - T0:7.1f}s] {name}",
+    extra = ""
+    if _COUNTER is not None:
+        n, secs = _COUNTER.snapshot()
+        extra = f"  [{n} compiles, {secs:.1f}s compiling]"
+    print(f"[coldstart +{time.perf_counter() - T0:7.1f}s] {name}{extra}",
           file=sys.stderr, flush=True)
 
 
 def main():
+    global _COUNTER
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,15 +63,21 @@ def main():
     from candle_video_tpu.models.ltx_video.zeros_init import (
         zeros_transformer_params,
     )
+    from candle_video_tpu.utils.compile_cache import (
+        CompileCounter,
+        enable_persistent_cache,
+    )
 
-    _mark("imports done")
+    cache_on = enable_persistent_cache()
+    _COUNTER = CompileCounter().install()
+    _mark(f"imports done (persistent cache {'ON' if cache_on else 'OFF'})")
     jax.devices()
     _mark("device attached")
 
     full = get_config_by_version("0.9.8-2b-distilled")
     params = zeros_transformer_params(full.transformer, jnp.bfloat16)
     vae_params = init_vae_params(
-        __import__("jax").random.PRNGKey(0), full.vae, jnp.bfloat16
+        jax.random.PRNGKey(0), full.vae, jnp.bfloat16
     )
     _mark("params built")
     pipe = P.LtxPipeline(
@@ -65,8 +86,7 @@ def main():
     emb = jnp.zeros((1, 128, full.transformer.caption_channels), jnp.float32)
     mask = jnp.ones((1, 128), jnp.float32)
     # preset defaults (7 distilled steps) — the same programs the e2e bench
-    # compiles, so the persistent cache is shared and the warm start is what
-    # a repeat CLI user of the default preset sees
+    # compiles, so a repeat CLI user of the default preset sees this path
     video = P.generate(
         pipe,
         prompt_embeds=emb,
@@ -75,6 +95,7 @@ def main():
         output_type="tensor",
         use_pcg_rng=False,
         vae_tail_stream_chunks=2,
+        decode_warmup=True,
     )
     np.asarray(video[0, 0, 0, 0, :1])  # first frame ready
     _mark("first frame fetched")

@@ -103,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=os.path.expanduser("~/.cache/candle_video_tpu/xla"),
                    help="persistent XLA compilation cache dir ('' disables); "
                         "makes repeat cold-starts fast")
+    p.add_argument("--no-decode-warmup", action="store_true",
+                   help="disable the background decode-program compile that "
+                        "overlaps with the denoise scan on cold starts")
     p.add_argument("--mesh", type=str, default=None,
                    help="device mesh spec: 'dp=1,tp=4' (tensor-parallel 13B), "
                         "'pp=4[,interleave=2]' (pipelined denoise), or "
@@ -272,9 +275,15 @@ def main(argv=None) -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.compilation_cache:
+        from .utils.compile_cache import enable_persistent_cache
+
         os.makedirs(args.compilation_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # gated: on the axon tunnel plugin a persistent-cache HIT hangs at
+        # first execution (utils/compile_cache.py), so the helper refuses
+        # to enable it there rather than wedging the repeat run
+        if not enable_persistent_cache(args.compilation_cache):
+            print("[cli] persistent XLA cache disabled: backend cannot "
+                  "load serialized executables")
     import jax.numpy as jnp
     import numpy as np
 
@@ -411,6 +420,7 @@ def main(argv=None) -> int:
             use_vae_tiling=args.vae_tiling,
             use_vae_slicing=args.vae_slicing,
             vae_tail_stream_chunks=args.vae_stream_chunks,
+            decode_warmup=not args.no_decode_warmup,
             step_callback=None if pp_kwargs else step_callback,
             **pp_kwargs,
             **kwargs,

@@ -101,6 +101,67 @@ def postprocess_video(video):
     return video * 255.0
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_frames", "height", "width", "patch_size",
+                     "patch_size_t", "scaling_factor", "with_noise"),
+)
+def _prepare_decode(final, mean, std, key, noise_scale, *, num_frames, height,
+                    width, patch_size, patch_size_t, scaling_factor,
+                    with_noise):
+    """unpack -> denormalize -> decode-noise mix as ONE program.
+
+    Eagerly these are ~8 tiny ops; on the tunnel each eager op is its own
+    remote XLA compile (~0.4 s) on first use, a measurable slice of the
+    cold start."""
+    lat5 = unpack_latents(final, num_frames, height, width, patch_size,
+                          patch_size_t)
+    lat5 = V.denormalize_latents(lat5, mean, std, scaling_factor)
+    if with_noise:
+        noise = jax.random.normal(key, lat5.shape, lat5.dtype)
+        lat5 = (1.0 - noise_scale) * lat5 + noise_scale * noise
+    return lat5
+
+
+_postprocess_jit = jax.jit(postprocess_video)
+
+# decode-program signatures already warmed in this process (keyed on the
+# param-tree identity + call signature): repeat generate() calls skip the
+# dummy warmup decode entirely
+_decode_warmed: set = set()
+
+
+def _start_decode_warmup(pipe, vcfg, zshape, has_temb, decode_kwargs):
+    """Compile the VAE decode programs on a background thread while the
+    denoise scan compiles/runs on the main thread (cold-start overlap).
+
+    The thread calls the SAME facade with zeros inputs of the production
+    shape/dtype, so the jit caches it populates are exactly the ones the
+    real decode hits.  Returns the started thread (join before decoding)
+    or None if this signature is already warm."""
+    import threading
+
+    key = (
+        id(pipe.vae_params), zshape, has_temb,
+        tuple(sorted((k, v) for k, v in decode_kwargs.items())),
+    )
+    if key in _decode_warmed:
+        return None
+    _decode_warmed.add(key)
+
+    def _warm():
+        try:
+            z = jnp.zeros(zshape, jnp.float32)
+            temb = jnp.zeros((zshape[0],), jnp.float32) if has_temb else None
+            V.decode(pipe.vae_params, vcfg, z, temb, **decode_kwargs)
+        except Exception:  # noqa: BLE001 — warmup must never break generation
+            pass
+
+    t = threading.Thread(target=_warm, daemon=True, name="cvt-decode-warmup")
+    t.start()
+    return t
+
+
 # ---------------------------------------------------------------------------
 # denoise loop
 # ---------------------------------------------------------------------------
@@ -574,9 +635,10 @@ def generate(
     vae_tiling: Optional[V.TilingConfig] = None,
     use_vae_tiling: bool = False,
     use_vae_slicing: bool = False,
-    vae_tail_t_chunks: int = 1,  # exact halo-chunked decoder tail (memory)
     vae_tail_stream_chunks: int = 0,  # exact streaming tail (overlap-save)
     vae_tail_stream_from_ups: bool = False,  # stream from the last upsampler
+    vae_auto_decode: bool = True,  # no explicit mode -> select_decode_mode
+    decode_warmup: bool = False,  # compile decode programs during denoise
     decode_fn=None,
     step_callback=None,
     pp_mesh=None,  # jax.sharding.Mesh with a 'pp' axis: pipeline-parallel mode
@@ -707,6 +769,43 @@ def generate(
     latent_height = height // vcfg.spatial_compression_ratio
     latent_width = width // vcfg.spatial_compression_ratio
     seq_len = latent_num_frames * latent_height * latent_width
+
+    # one kwargs dict for the warmup AND the real decode: the jit signatures
+    # the warmup thread populates must be exactly the ones decode() hits.
+    # The mode policy resolves HERE, once — free HBM differs between warmup
+    # time and decode time, and the two must agree on the programs.
+    if (vae_auto_decode and output_type == "tensor"
+            and pipe.vae_params is not None and decode_fn is None
+            and not vae_tail_stream_chunks):
+        picked = V.select_decode_mode(
+            vcfg,
+            (eff_batch, vcfg.latent_channels, latent_num_frames,
+             latent_height, latent_width),
+        )
+        vae_tail_stream_chunks = picked.get("tail_stream_chunks", 0)
+        vae_tail_stream_from_ups = picked.get("tail_stream_from_ups", False)
+        vae_full_stream_chunks = picked.get("full_stream_chunks", 0)
+    else:
+        vae_full_stream_chunks = 0
+    decode_call_kwargs = dict(
+        tiling=vae_tiling,
+        use_tiling=use_vae_tiling,
+        use_framewise_decoding=use_vae_tiling,
+        use_slicing=use_vae_slicing,
+        tail_stream_chunks=vae_tail_stream_chunks,
+        tail_stream_from_ups=vae_tail_stream_from_ups,
+        full_stream_chunks=vae_full_stream_chunks,
+    )
+    warmup_thread = None
+    if (decode_warmup and output_type == "tensor"
+            and pipe.vae_params is not None and decode_fn is None):
+        warmup_thread = _start_decode_warmup(
+            pipe, vcfg,
+            (eff_batch, vcfg.latent_channels, latent_num_frames,
+             latent_height, latent_width),
+            bool(vcfg.timestep_conditioning),
+            decode_call_kwargs,
+        )
 
     if conditioning is not None and (image is not None or image_latents is not None):
         raise ValueError("pass either `conditioning` or `image`/`image_latents`")
@@ -995,18 +1094,8 @@ def generate(
     if pipe.vae_params is None:
         raise ValueError("pipeline has no VAE params; use output_type='latent'")
 
-    lat5 = unpack_latents(
-        final, latent_num_frames, latent_height, latent_width,
-        tcfg.patch_size, tcfg.patch_size_t,
-    )
-    lat5 = V.denormalize_latents(
-        lat5,
-        pipe.vae_params["latents_mean"],
-        pipe.vae_params["latents_std"],
-        vcfg.scaling_factor,
-    )
-
     temb = None
+    scale = None
     if vcfg.timestep_conditioning:
         dt = list(decode_timestep or [0.0])
         if len(dt) == 1:
@@ -1016,25 +1105,40 @@ def generate(
             dns = dns * eff_batch
         temb = jnp.asarray(dt, jnp.float32)
         scale = jnp.asarray(dns, jnp.float32).reshape(eff_batch, 1, 1, 1, 1)
-        if decode_noise is not None:
-            # caller-supplied per-sample noise (serving uses this so batched
-            # requests reproduce each row's single-request decode stream)
-            noise = jnp.asarray(decode_noise, lat5.dtype)
-        else:
-            noise = jax.random.normal(
-                jax.random.PRNGKey(seed + 2), lat5.shape, lat5.dtype
-            )
+
+    if vcfg.timestep_conditioning and decode_noise is not None:
+        # caller-supplied per-sample noise (serving uses this so batched
+        # requests reproduce each row's single-request decode stream)
+        lat5 = _prepare_decode(
+            final, pipe.vae_params["latents_mean"],
+            pipe.vae_params["latents_std"], jax.random.PRNGKey(0), scale,
+            num_frames=latent_num_frames, height=latent_height,
+            width=latent_width, patch_size=tcfg.patch_size,
+            patch_size_t=tcfg.patch_size_t,
+            scaling_factor=vcfg.scaling_factor, with_noise=False,
+        )
+        noise = jnp.asarray(decode_noise, lat5.dtype)
         lat5 = (1.0 - scale) * lat5 + scale * noise
+    else:
+        lat5 = _prepare_decode(
+            final, pipe.vae_params["latents_mean"],
+            pipe.vae_params["latents_std"], jax.random.PRNGKey(seed + 2),
+            scale if scale is not None else jnp.float32(0.0),
+            num_frames=latent_num_frames, height=latent_height,
+            width=latent_width, patch_size=tcfg.patch_size,
+            patch_size_t=tcfg.patch_size_t,
+            scaling_factor=vcfg.scaling_factor,
+            with_noise=bool(vcfg.timestep_conditioning),
+        )
+
+    if warmup_thread is not None:
+        # the decode programs finish compiling before we dispatch for real —
+        # a concurrent same-signature trace would compile twice
+        warmup_thread.join()
 
     video = V.decode(
         pipe.vae_params, vcfg, lat5, temb,
-        tiling=vae_tiling,
-        use_tiling=use_vae_tiling,
-        use_framewise_decoding=use_vae_tiling,
-        use_slicing=use_vae_slicing,
         decode_fn=decode_fn,
-        tail_t_chunks=vae_tail_t_chunks,
-        tail_stream_chunks=vae_tail_stream_chunks,
-        tail_stream_from_ups=vae_tail_stream_from_ups,
+        **decode_call_kwargs,
     )
-    return postprocess_video(video)
+    return _postprocess_jit(video)

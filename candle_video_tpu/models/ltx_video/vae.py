@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -875,7 +876,8 @@ def decoder_tail_stream_cl(params, cfg: LtxVaeConfig, h, state, mode,
     if cfg.decoder_causal:
         raise NotImplementedError(
             "streaming tail assumes the symmetric (non-causal) decoder "
-            "padding; decoder_causal configs use tail_t_chunks halo mode"
+            "padding; decoder_causal configs use dense or temporal-tiled "
+            "decode"
         )
     dtype = params["conv_in"]["weight"].dtype
     new_res = []
@@ -897,26 +899,6 @@ def decoder_tail_stream_cl(params, cfg: LtxVaeConfig, h, state, mode,
     )
     video = jnp.transpose(out, (0, 4, 1, 2, 3))
     return video, {"resnets": new_res, "out": out_cache["out"]}
-
-
-def tail_chunk_bounds(params, cfg: LtxVaeConfig, t_total: int,
-                      tail_t_chunks: int):
-    """Exact halo accounting for the chunked tail: each tail resnet has 2
-    temporal kt=3 convs (conv_shortcut is 1x1x1), plus conv_out — the
-    receptive field grows 1 frame per conv on each side (2x on the left
-    for causal tails).  Returns (start, end, lo, hi) latent-frame spans."""
-    n_convs = 2 * len(params["up_blocks"][-1]["resnets"]) + 1
-    halo = n_convs if not cfg.decoder_causal else 2 * n_convs
-    per = max(-(-t_total // tail_t_chunks), 1)
-    spans = []
-    start = 0
-    while start < t_total:
-        end = min(start + per, t_total)
-        lo = max(0, start - halo)
-        hi = min(t_total, end + halo)
-        spans.append((start, end, lo, hi))
-        start = end
-    return spans
 
 
 def _use_channels_last(channels_last=None) -> bool:
@@ -1073,27 +1055,23 @@ def decoder_ups_tail_streamed(params, cfg: LtxVaeConfig, h, temb=None,
 
 
 def decoder_forward(params, cfg: LtxVaeConfig, z, temb=None, noise_key=None,
-                    tail_t_chunks: int = 1, channels_last=None,
+                    channels_last=None,
                     tail_stream_chunks: int = 0,
                     tail_stream_from_ups: bool = False):
     """LtxVideoDecoder3d (vae.rs:1488-1727). z [B,latent,F,H,W] -> video
     [B,3,F*8,H*32,W*32] in [-1,1]; ``temb`` [B] decode timesteps or None.
 
-    ``tail_t_chunks > 1``: run the LAST up-block's resnets + the output
-    head over that many temporal chunks with exact conv halos — identical
-    math (every temporal op in the tail is a kt<=3 conv or pointwise, so an
-    11-frame halo covers the receptive field of the 11 temporal convs), at
-    ~1/n of the tail's activation peak.  The full-frame decode peak is
-    dominated by this tail (measured 6.5 of 7.1 GB at 512x768x97f); with
-    n=2 the whole decode fits alongside a resident 5 GiB text encoder.
-    Noise injection stays consistent: the per-conv noise is [H, W] spatial
-    (shared across T), and each chunk replays the same key sequence.
+    ``tail_stream_chunks > 1``: streaming overlap-save tail — each temporal
+    conv carries its last-2 input frames as state, so chunking has ZERO
+    recompute and the chunk count is free: O(chunk) tail memory at
+    unchunked cost.  The full-frame decode peak is dominated by this tail
+    (measured 6.5 of 7.1 GB at 512x768x97f); with n=2 the whole decode fits
+    alongside a resident 5 GiB text encoder.  Channels-last only.  (The
+    exact halo-chunked tail this superseded — 22 recomputed frames per
+    boundary for the same exactness — was removed in round 5.)
 
-    ``tail_stream_chunks > 1``: streaming overlap-save tail instead — each
-    temporal conv carries its last-2 input frames as state, so chunking has
-    ZERO recompute (the halo path reprocesses 22 frames per boundary) and
-    the chunk count is free: O(chunk) tail memory at unchunked cost.
-    Channels-last only.
+    ``tail_stream_from_ups``: start the stream BEFORE the last upsampler so
+    the dense prefix runs at half resolution (13B-resident decode mode).
 
     ``channels_last`` (default: on, opt out via CVT_DECODER_LAYOUT=ncdhw):
     run the channels-last decoder twins — the production path on TPU.
@@ -1105,7 +1083,6 @@ def decoder_forward(params, cfg: LtxVaeConfig, z, temb=None, noise_key=None,
     cl = _use_channels_last(channels_last)
     head = decoder_head_forward_cl if cl else decoder_head_forward
     tail = decoder_tail_forward_cl if cl else decoder_tail_forward
-    t_axis = 1 if cl else 2
 
     if tail_stream_chunks > 0 and not cl:
         raise ValueError("tail_stream_chunks requires the channels-last "
@@ -1120,21 +1097,7 @@ def decoder_forward(params, cfg: LtxVaeConfig, z, temb=None, noise_key=None,
         return decoder_tail_streamed(
             params, cfg, h, temb, noise_key, n_chunks=tail_stream_chunks
         )
-    if tail_t_chunks <= 1:
-        return tail(params, cfg, h, temb, noise_key)
-    pt = cfg.patch_size_t
-    outs = []
-    for start, end, lo, hi in tail_chunk_bounds(
-        params, cfg, h.shape[t_axis], tail_t_chunks
-    ):
-        piece = tail(
-            params, cfg,
-            h[:, :, lo:hi] if not cl else h[:, lo:hi],
-            temb, noise_key,
-        )
-        # tail output has T * pt frames; crop the halo in output time
-        outs.append(piece[:, :, (start - lo) * pt : (end - lo) * pt])
-    return jnp.concatenate(outs, axis=2)
+    return tail(params, cfg, h, temb, noise_key)
 
 
 # ---------------------------------------------------------------------------
@@ -1399,36 +1362,6 @@ def _jitted_decoder(cfg: LtxVaeConfig, channels_last: bool):
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_decoder_chunked(cfg: LtxVaeConfig, tail_t_chunks: int,
-                            channels_last: bool):
-    """Halo-chunked decode with head and tail as SEPARATE jits.
-
-    One jit over the whole chunked decode lets XLA overlap the chunks'
-    buffers and the ~2x activation-peak reduction evaporates (observed:
-    RESOURCE_EXHAUSTED with a resident 5 GiB T5 where the per-chunk eager
-    path fit).  Separate programs bound the peak to max(head, one tail
-    chunk) while still avoiding per-op dispatch."""
-    head_fn = decoder_head_forward_cl if channels_last else decoder_head_forward
-    tail_fn = decoder_tail_forward_cl if channels_last else decoder_tail_forward
-    t_axis = 1 if channels_last else 2
-    head = jax.jit(lambda p, zz, tt: head_fn(p, cfg, zz, tt))
-    tail = jax.jit(lambda p, hh, tt: tail_fn(p, cfg, hh, tt))
-
-    def run(p, zz, tt):
-        h = head(p, zz, tt)
-        pt = cfg.patch_size_t
-        outs = []
-        for start, end, lo, hi in tail_chunk_bounds(
-            p, cfg, h.shape[t_axis], tail_t_chunks
-        ):
-            piece = tail(p, h[:, :, lo:hi] if not channels_last else h[:, lo:hi], tt)
-            outs.append(piece[:, :, (start - lo) * pt : (end - lo) * pt])
-        return jnp.concatenate(outs, axis=2)
-
-    return run
-
-
-@functools.lru_cache(maxsize=8)
 def _jitted_decoder_stream(cfg: LtxVaeConfig, n_chunks: int):
     """Streaming-tail decode with head and per-chunk steps as SEPARATE
     jits (same peak-bounding rationale as _jitted_decoder_chunked), zero
@@ -1513,6 +1446,73 @@ def _jitted_encoder(cfg: LtxVaeConfig):
     return jax.jit(lambda p, xx: encoder_forward(p, cfg, xx))
 
 
+def _device_free_bytes() -> Optional[int]:
+    """Free HBM on the default device, or None when the backend doesn't
+    report memory stats (CPU, some plugins)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+    except Exception:  # noqa: BLE001 — stats are best-effort
+        pass
+    return None
+
+
+# measured at 512x768x97f (docs/benchmark_results.md, scripts/profile_decode):
+# full-frame dense decode peaks ~7.1 GiB, head-bound ~2.2 GiB, ups-split
+# prefix ~1.5 GiB, fullstream O(chunk).  Expressed per output pixel-frame
+# (B*F*H*W at sample resolution) so the policy scales across shapes.
+_DENSE_PEAK_B_PER_PX = 200.0
+_HEAD_PEAK_B_PER_PX = 62.0
+_UPS_PEAK_B_PER_PX = 43.0
+
+
+def select_decode_mode(cfg: LtxVaeConfig, z_shape, *,
+                       free_bytes: Optional[int] = None,
+                       channels_last: Optional[bool] = None) -> dict:
+    """THE decode-mode policy — the single selection point for the facade.
+
+    Inputs: latent shape, free HBM (queried from the device when not
+    given), decoder layout.  Output: kwargs for :func:`decode` choosing
+    among the EXACT modes only (dense / streamed tail / ups-split stream /
+    fullstream) — approximate spatial/temporal tiling stays opt-in via
+    ``use_tiling``/``use_framewise_decoding`` since it changes outputs.
+
+    Ladder (activation peak per mode, measured at 512x768x97f):
+      dense       ~200 B/px — fastest, one head+tail program
+      stream tail ~max(head 62, tail/n) B/px — zero recompute, same cost
+      ups-split   ~43 B/px + streamed ups+tail — 13B-resident mode
+      fullstream  O(chunk) at every stage — unbounded clip length
+    """
+    cl = _use_channels_last(channels_last)
+    b, _, t, h, w = z_shape
+    px = (b * t * cfg.temporal_compression_ratio
+          * h * cfg.spatial_compression_ratio
+          * w * cfg.spatial_compression_ratio)
+    if free_bytes is None:
+        free_bytes = _device_free_bytes()
+    if free_bytes is None or not cl or cfg.decoder_causal or t < 4:
+        # no memory pressure signal, oracle layout, causal padding, or too
+        # few latent frames to stream: dense (streaming needs the first
+        # chunk to exceed the conv-pipeline fill)
+        return {}
+    budget = 0.85 * free_bytes  # leave headroom for the video output
+    if _DENSE_PEAK_B_PER_PX * px <= budget:
+        return {}
+    if _HEAD_PEAK_B_PER_PX * px <= budget:
+        # tail chunks are free (zero recompute): pick n so one tail chunk
+        # fits comfortably under the head-bound peak
+        n = max(2, math.ceil(_DENSE_PEAK_B_PER_PX * px / budget))
+        return {"tail_stream_chunks": min(n, max(2, t // 2))}
+    if _UPS_PEAK_B_PER_PX * px <= budget:
+        n = max(4, math.ceil(_DENSE_PEAK_B_PER_PX * px / budget))
+        return {"tail_stream_chunks": min(n, max(2, t // 2)),
+                "tail_stream_from_ups": True}
+    # last resort: stream every stage; chunk count bounded by the head
+    # stream's pipeline-fill requirement (checked by the runner)
+    return {"full_stream_chunks": max(2, min(t // 4, 8))}
+
+
 def decode(
     params,
     cfg: LtxVaeConfig,
@@ -1524,21 +1524,28 @@ def decode(
     use_framewise_decoding: bool = True,
     use_slicing: bool = False,
     decode_fn=None,
-    tail_t_chunks: int = 1,
     tail_stream_chunks: int = 0,
     tail_stream_from_ups: bool = False,
     full_stream_chunks: int = 0,
+    auto_mode: bool = False,
 ):
     """Facade decode with the reference's dispatch order (vae.rs:2037-2066):
     batch slicing (vae.rs:2109-2121), then temporal tiling if T exceeds the
     latent frame tile, else spatial tiling if H/W exceed the latent tile,
     else direct.
 
-    ``tail_t_chunks``: exact halo-chunked decoder tail (decoder_forward) —
-    cuts the decode activation peak ~2x at n=2 with identical outputs;
-    the lever that lets a full 512x768x97f decode run UNTILED next to a
-    resident 5 GiB text encoder."""
+    Mode selection is centralized in :func:`select_decode_mode`: pass
+    ``auto_mode=True`` (and no explicit chunk kwargs) to let the policy
+    pick an exact mode from the latent shape and free HBM.  Explicit
+    ``tail_stream_chunks``/``tail_stream_from_ups``/``full_stream_chunks``
+    always win."""
     tiling = tiling or TilingConfig()
+    if (auto_mode and decode_fn is None and not tail_stream_chunks
+            and not full_stream_chunks):
+        picked = select_decode_mode(cfg, z.shape)
+        tail_stream_chunks = picked.get("tail_stream_chunks", 0)
+        tail_stream_from_ups = picked.get("tail_stream_from_ups", False)
+        full_stream_chunks = picked.get("full_stream_chunks", 0)
     if decode_fn is None:
         # jit the default decoder: eagerly-dispatched decoder ops cost
         # ~0.7 s of per-op tunnel dispatches (and lose fusion) at 97f scale
@@ -1559,8 +1566,6 @@ def decode(
                 if tail_stream_from_ups
                 else _jitted_decoder_stream(cfg, tail_stream_chunks)
             )
-        elif tail_t_chunks > 1:
-            jitted = _jitted_decoder_chunked(cfg, tail_t_chunks, cl)
         else:
             jitted = _jitted_decoder(cfg, cl)
         decode_fn = lambda zz, tt: jitted(params["decoder"], zz, tt)  # noqa: E731

@@ -10,12 +10,16 @@ NATURAL projection layout [B, S, H*D] and blocks the lane dimension in
 - D=64 (LTX 2B, 32 heads): 2 heads per program, zero layout changes,
 - D=128 (LTX 13B): 1 head per program, still zero layout changes.
 
-Each program runs an exact one-pass softmax over the full key sequence
-(single k-block; K/V lane-blocks are fetched once per (batch, head-pair)
-because their index is constant along the q grid axis).  Requires the
-scores tile (block_q * K_pad f32) to fit VMEM — callers fall back to the
-transposing multi-k-block kernel otherwise (the dispatcher in
-ops/attention.py handles this).
+Two kernels share the layout:
+- ONE-PASS (default, K_pad <= _ONEPASS_KP_MAX): exact one-pass softmax over
+  the full key sequence; K/V lane-blocks are fetched once per
+  (batch, head-pair).  Needs the [block_q, K_pad] f32 scores tile (plus the
+  whole-K k/v residency) in VMEM.
+- LONG (K_pad beyond the envelope — e.g. S=12672 at 512x768x257f): grid
+  axis 2 walks key blocks; the Cauchy-Schwarz bound fixes the softmax
+  shift so numerator/denominator are plain sums accumulated in VMEM
+  scratch — K/V stream through in tiles and sequence length is unbounded.
+  The wrapper routes automatically and logs the choice.
 
 The q-side rotary embedding (``rope_q=(cos, sin)``) is applied INSIDE the
 kernel — exact f32 math equivalent to ops/rope.py::apply_rotary_emb via the
@@ -31,6 +35,7 @@ Reference call site: src/models/ltx_video/ltx_transformer.rs:699-712.
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import jax
@@ -226,6 +231,102 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _kernel_long(
+    q_ref,
+    k_ref,
+    v_ref,
+    bias_ref,
+    qcos_ref,
+    qsin_ref,
+    qcs_ref,
+    kcs_ref,
+    kn_ref,
+    o_ref,
+    pv_acc,
+    l_acc,
+    *,
+    scale,
+    kv_len,
+    head_dim,
+    block_k,
+):
+    """Multi-k-block lane-packed attention (the long-sequence kernel).
+
+    Grid axis 2 walks key blocks sequentially; the Cauchy-Schwarz score
+    bound (SMEM, per batch x lane-group) fixes the softmax shift, so the
+    numerator/denominator are PLAIN SUMS over key blocks — accumulated in
+    VMEM scratch and finalized on the last block.  No online-max rescaling,
+    no whole-K VMEM residency: K/V stream through in ``block_k`` tiles, so
+    sequence length is unbounded (the one-pass kernel needs the full
+    [block_q, K_pad] scores tile in VMEM, which caps it near S~8-10k).
+    Exactness argument is the one-pass kernel's: softmax is shift-invariant
+    and the bound stays within exp2's underflow headroom of the realized
+    row max."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    split = qcs_ref is not None
+
+    @pl.when(ki == 0)
+    def _():
+        pv_acc[...] = jnp.zeros_like(pv_acc)
+        l_acc[...] = jnp.zeros_like(l_acc)
+
+    q = q_ref[0]  # [bq, L]
+    if split:
+        # recomputed per key block: VPU cost is negligible next to the two
+        # MXU passes, and it keeps the kernel scratch-free for q
+        q = _rotate_split(q, qcs_ref[0])
+    elif qcos_ref is not None:
+        q = _rotate(q, qcos_ref[0], qsin_ref[0])
+    k = _rotate_split(k_ref[0], kcs_ref[0]) if split else k_ref[0]
+    v = v_ref[0]
+
+    lanes = q.shape[-1]
+    n_heads = lanes // head_dim
+    if split and n_heads > 1:
+        lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 1)
+        head_of_lane = (lane // (head_dim // 2)) % n_heads
+
+    # the fixed shift must be IDENTICAL across key blocks (partial sums with
+    # different shifts don't add); when a bias rides along, its global max
+    # was already folded into the SMEM bounds by the wrapper
+    bi = pl.program_id(0) // kn_ref.shape[1]
+    grp = pl.program_id(0) % kn_ref.shape[1]
+    m_fixed = kn_ref[bi, grp]
+
+    col0 = ki * block_k
+    for h in range(n_heads):
+        lo = h * head_dim
+        if split and n_heads > 1:
+            qh = jnp.where(head_of_lane == h, q, jnp.zeros_like(q))
+            kh = k
+        else:
+            qh = q[:, lo : lo + head_dim]
+            kh = k[:, lo : lo + head_dim]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [bq, block_k]
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0][None, :].astype(jnp.float32)
+        if kv_len % block_k:  # static: the last key block carries padding
+            col = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        p = jnp.exp2((s - m_fixed) * jnp.float32(_LOG2E))
+        l = jnp.sum(p, axis=-1, keepdims=True)  # [bq, 1]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, lo : lo + head_dim],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, D]
+        pv_acc[:, lo : lo + head_dim] += pv
+        l_acc[:, lo : lo + head_dim] += jnp.broadcast_to(l, pv.shape)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[0] = (pv_acc[...] / l_acc[...]).astype(o_ref.dtype)
+
+
 def score_head_map(inner: int, head_dim: int, split: bool) -> "np.ndarray":
     """Kernel head index for every lane of the packed [.., H*D] layout.
 
@@ -271,16 +372,165 @@ def group_score_bounds(q3, k3, scale, n_groups: int):
     return jnp.minimum(bound, jnp.float32(_BOUND_CLIP))
 
 
+# above this padded key length the one-pass kernel's whole-K VMEM residency
+# (k + v + rotated-k scratch + tables + the [block_q, K_pad] scores tile)
+# outgrows the 16 MB scoped-vmem budget; the multi-k-block long kernel takes
+# over (K/V stream through in tiles, sequence length unbounded)
+_ONEPASS_KP_MAX = 8192
+
+
 def packed_viable(s_len: int, kv_len: int, num_heads: int, head_dim: int) -> bool:
-    """True when this kernel applies: lane grouping works and scores fit."""
+    """True when the lane-packed kernels apply (one-pass or long: the lane
+    grouping must work; sequence length no longer disqualifies — the
+    multi-k-block kernel streams K/V)."""
     if head_dim > 128 or 128 % head_dim != 0:
         return False
     hp = 128 // head_dim
-    if num_heads % hp != 0:
-        return False
-    kp = _round_up(kv_len, 128)
-    # smallest usable q-block must keep the scores tile under budget
-    return 64 * kp * 4 <= _SCORES_VMEM_BUDGET
+    return num_heads % hp == 0
+
+
+def _packed_long(
+    q, k, v, *, num_heads, scale, bias=None, rope_q=None, rope_split=None,
+    block_q=None, block_k: int = 1024, interpret=None,
+    lane_group_heads=None,
+):
+    """Long-sequence lane-packed attention (see _kernel_long).
+
+    Same contract as flash_attention_packed; always uses the in-SMEM
+    Cauchy-Schwarz bounds (the fixed shift is what makes the key-block
+    sums exact), with the global bias max folded in when a bias rides."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    b, s_len, hd = q.shape
+    kv_len = k.shape[1]
+    head_dim = hd // num_heads
+    hp = lane_group_heads or 128 // head_dim
+    if rope_split is not None and hp * head_dim != 128:
+        raise ValueError("rope_split requires 128-lane grouping")
+    lanes = hp * head_dim
+    n_groups = num_heads // hp
+    if rope_split is not None and kv_len != s_len:
+        raise ValueError("rope_split requires self-attention (kv_len == s_len)")
+
+    if block_q is None:
+        block_q = 512
+    block_q = min(block_q, _round_up(s_len, 8))
+    block_k = min(block_k, _round_up(kv_len, 128))
+    # trace-time (once per compiled shape): no silent kernel switches
+    logging.getLogger(__name__).info(
+        "packed attention: LONG multi-k-block kernel (S=%d K=%d heads=%d "
+        "block_q=%d block_k=%d split=%s)",
+        s_len, kv_len, num_heads, block_q, block_k, rope_split is not None,
+    )
+
+    def pad(x, mult):
+        n = x.shape[1]
+        extra = (-n) % mult
+        return jnp.pad(x, ((0, 0), (0, extra), (0, 0))) if extra else x
+
+    qp = pad(q, block_q)
+    kpad = pad(k, block_k)
+    vp = pad(v, block_k)
+    nq = qp.shape[1] // block_q
+    nk = kpad.shape[1] // block_k
+
+    grid = (b * n_groups, nq, nk)
+    q_spec = pl.BlockSpec(
+        (1, block_q, lanes), lambda bg, qi, ki, _g=n_groups: (bg // _g, qi, bg % _g)
+    )
+    kv_spec = pl.BlockSpec(
+        (1, block_k, lanes), lambda bg, qi, ki, _g=n_groups: (bg // _g, ki, bg % _g)
+    )
+
+    in_specs = [q_spec, kv_spec, kv_spec]
+    args = [qp, kpad, vp]
+    has_bias = bias is not None
+    has_rope = rope_q is not None
+    has_split = rope_split is not None
+    if has_bias:
+        bias3 = bias.astype(jnp.float32).reshape(b, 1, kv_len)
+        bias3 = pad(jnp.swapaxes(bias3, 1, 2), block_k)
+        bias3 = jnp.swapaxes(bias3, 1, 2)
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bg, qi, ki, _g=n_groups: (bg // _g, 0, ki))
+        )
+        args.append(bias3)
+    if has_rope:
+        cos, sin = rope_q
+        qcos_spec = pl.BlockSpec(
+            (1, block_q, lanes), lambda bg, qi, ki, _g=n_groups: (0, qi, bg % _g)
+        )
+        in_specs.extend([qcos_spec, qcos_spec])
+        args.extend([
+            pad(cos.astype(jnp.float32), block_q),
+            pad(sin.astype(jnp.float32), block_q),
+        ])
+    if has_split:
+        cs = rope_split.astype(jnp.float32)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_q, lanes), lambda bg, qi, ki, _g=n_groups: (0, qi, bg % _g)
+            )
+        )
+        args.append(pad(cs, block_q))
+        # k-side tables in bf16: the rotated k feeds a bf16 matmul operand
+        # either way (same rounding as the one-pass kernel's bf16 scratch)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_k, lanes), lambda bg, qi, ki, _g=n_groups: (0, ki, bg % _g)
+            )
+        )
+        args.append(pad(cs.astype(jnp.bfloat16), block_k))
+    bounds = group_score_bounds(q, k, scale, n_groups)
+    if has_bias:
+        # fold the global bias max into the bound so the fixed shift is
+        # identical across key blocks (required for the partial sums)
+        bounds = bounds + jnp.max(
+            bias.astype(jnp.float32).reshape(b, -1), axis=-1, keepdims=True
+        )
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    args.append(bounds)
+
+    kernel = functools.partial(
+        _kernel_long, scale=scale, kv_len=kv_len, head_dim=head_dim,
+        block_k=block_k,
+    )
+
+    def body(q_r, k_r, v_r, *rest):
+        i = 0
+        b_r = qc_r = qs_r = qcs_r = kcs_r = None
+        if has_bias:
+            b_r = rest[i]
+            i += 1
+        if has_rope:
+            qc_r, qs_r = rest[i : i + 2]
+            i += 2
+        if has_split:
+            qcs_r, kcs_r = rest[i : i + 2]
+            i += 2
+        kn_r = rest[i]
+        o_r, pv_acc, l_acc = rest[i + 1 : i + 4]
+        kernel(q_r, k_r, v_r, b_r, qc_r, qs_r, qcs_r, kcs_r, kn_r,
+               o_r, pv_acc, l_acc)
+
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, lanes), jnp.float32),
+            pltpu.VMEM((block_q, lanes), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+    return out[:, :s_len]
 
 
 @functools.partial(
@@ -331,6 +581,13 @@ def flash_attention_packed(
         raise ValueError("rope_split requires self-attention (kv_len == s_len)")
 
     kp = _round_up(kv_len, 128)
+    if kp > _ONEPASS_KP_MAX or 64 * kp * 4 > _SCORES_VMEM_BUDGET:
+        # long-sequence route: multi-k-block kernel, K/V streamed in tiles
+        return _packed_long(
+            q, k, v, num_heads=num_heads, scale=scale, bias=bias,
+            rope_q=rope_q, rope_split=rope_split, block_q=block_q,
+            interpret=interpret, lane_group_heads=lane_group_heads,
+        )
     if k_chunks > 1 and (kp % k_chunks or (kp // k_chunks) % 128):
         raise ValueError(
             f"k_chunks={k_chunks} must split K_pad={kp} into 128-multiples")

@@ -307,3 +307,107 @@ def test_packed_full_lanes_grouping_matches_oracle():
     ).reshape(b, s, h, d)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-6, rtol=2e-5)
+
+
+def test_packed_long_kernel_matches_oracle(rng):
+    """The multi-k-block long-sequence kernel (_packed_long / _kernel_long):
+    K/V stream through in block_k tiles with fixed-shift partial-sum
+    softmax — must match the XLA oracle at one-pass accuracy on every
+    variant (plain, key bias with padding, in-kernel q rope, split rope).
+
+    This is the kernel the dispatcher routes to beyond the one-pass VMEM
+    envelope (S ~ 8-10k; long clips like 512x768x257f run S=12672)."""
+    from candle_video_tpu.ops import attention_xla
+    from candle_video_tpu.ops.pallas.flash_attention_packed import (
+        _packed_long,
+    )
+    from candle_video_tpu.ops.rope import (
+        apply_rotary_emb,
+        rope_cos_sin,
+        rope_split_permutation,
+        rope_split_tables,
+    )
+
+    b, s, h, d = 1, 1000, 4, 64  # s % block_k != 0: last block is padded
+    scale = 1.0 / np.sqrt(d)
+    q4 = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    k4 = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    v4 = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    q, k, v = (x.reshape(b, s, h * d) for x in (q4, k4, v4))
+
+    ref = np.asarray(attention_xla(q4, k4, v4, scale), np.float32)
+    got = np.asarray(
+        _packed_long(q, k, v, num_heads=h, scale=scale, block_q=128,
+                     block_k=256, interpret=True).reshape(b, s, h, d),
+        np.float32,
+    )
+    assert ((got - ref) ** 2).mean() < 1e-6
+
+    # short-K cross-attention with a -1e4 key mask (padding + bias fold)
+    kv = 300
+    k4c = jnp.asarray(rng.normal(size=(b, kv, h, d)), jnp.bfloat16)
+    v4c = jnp.asarray(rng.normal(size=(b, kv, h, d)), jnp.bfloat16)
+    bias = jnp.asarray(
+        np.where(rng.random((b, 1, 1, kv)) > 0.3, 0.0, -10000.0), jnp.float32
+    )
+    ref_c = np.asarray(attention_xla(q4, k4c, v4c, scale, bias=bias),
+                       np.float32)
+    got_c = np.asarray(
+        _packed_long(q, k4c.reshape(b, kv, h * d), v4c.reshape(b, kv, h * d),
+                     num_heads=h, scale=scale, bias=bias, block_q=128,
+                     block_k=128, interpret=True).reshape(b, s, h, d),
+        np.float32,
+    )
+    assert ((got_c - ref_c) ** 2).mean() < 1e-6
+
+    # in-kernel q rotation (k pre-rotated outside)
+    grid = jnp.asarray(rng.uniform(size=(1, s, 3)), jnp.float32)
+    cos, sin = rope_cos_sin(grid, h * d)
+    qr = apply_rotary_emb(q4, cos.reshape(1, s, h, d), sin.reshape(1, s, h, d))
+    kr = apply_rotary_emb(k4, cos.reshape(1, s, h, d), sin.reshape(1, s, h, d))
+    ref_r = np.asarray(attention_xla(qr, kr, v4, scale), np.float32)
+    got_r = np.asarray(
+        _packed_long(q, kr.reshape(b, s, h * d), v, num_heads=h, scale=scale,
+                     rope_q=(cos, sin), block_q=128, block_k=256,
+                     interpret=True).reshape(b, s, h, d),
+        np.float32,
+    )
+    assert ((got_r - ref_r) ** 2).mean() < 1e-6
+
+    # split lane layout: q AND k rotate inside the kernel per key block
+    cs = rope_split_tables(cos, sin)
+    perm = rope_split_permutation(h * d)
+    got_s = np.asarray(
+        _packed_long(q[..., perm], k[..., perm], v, num_heads=h, scale=scale,
+                     rope_split=cs, block_q=128, block_k=256,
+                     interpret=True).reshape(b, s, h, d),
+        np.float32,
+    )
+    assert ((got_s - ref_r) ** 2).mean() < 1e-6
+
+
+def test_packed_wrapper_routes_long_sequences(rng, monkeypatch):
+    """flash_attention_packed silently delegates to the long kernel when
+    K_pad exceeds the one-pass envelope — same answer either side of the
+    threshold (threshold lowered here so the test stays CPU-sized)."""
+    from candle_video_tpu.ops.pallas import flash_attention_packed as fap
+
+    b, s, h, d = 1, 648, 2, 64  # distinct shape: forces a fresh jit trace
+    scale = 1.0 / np.sqrt(d)
+    q = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+
+    ref = fap.flash_attention_packed(
+        q, k, v, num_heads=h, scale=scale, interpret=True,
+        softmax_bound="auto",
+    )
+    monkeypatch.setattr(fap, "_ONEPASS_KP_MAX", 256)
+    got = fap.flash_attention_packed(
+        q + 0, k, v, num_heads=h, scale=scale, interpret=True,
+        softmax_bound="auto", block_q=128,
+    )
+    assert float(jnp.abs(ref - got).max()) < 1e-5
+    # viability no longer caps sequence length (only the lane grouping)
+    assert fap.packed_viable(100_000, 100_000, h, d)
+    assert not fap.packed_viable(256, 256, 3, 64)  # 3 heads % 2 per group

@@ -483,54 +483,45 @@ def test_vae_forward_roundtrip_facade(tiny_vae, rng):
                   use_framewise_encoding=False)
 
 
-def test_decoder_tail_chunking_is_exact(rng):
-    """tail_t_chunks runs the last up-block + output head in temporal
-    chunks with exact conv halos — outputs must match the unchunked
-    decode (same ops per output position; halo covers the receptive
-    field of the 11 temporal convs in the tail)."""
-    import jax
-
+def test_select_decode_mode_policy():
+    """select_decode_mode is the facade's single mode-selection point:
+    given the latent shape and free HBM it walks the exact-mode ladder
+    dense -> streamed tail -> ups-split stream -> fullstream.  (The halo-
+    chunked tail it helped retire is gone: streaming dominates it — zero
+    recompute at the same exactness.)"""
     from candle_video_tpu.models.ltx_video import vae as V
-    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
 
-    for causal in (False, True):
-        cfg = V.LtxVaeConfig(
-            in_channels=3, out_channels=3, latent_channels=4,
-            block_out_channels=(8, 16, 32), decoder_block_out_channels=(8, 16),
-            spatiotemporal_scaling=(True, True),
-            decoder_spatiotemporal_scaling=(True, True),
-            layers_per_block=(1, 1, 2), decoder_layers_per_block=(2, 2, 2),
-            patch_size=2, patch_size_t=1,
-            downsample_types=("spatiotemporal", "spatiotemporal"),
-            decoder_upsample_residual=(True, True),
-            decoder_upsample_factor=(2, 2),
-            timestep_conditioning=True, decoder_causal=causal,
-            spatial_compression_ratio=8, temporal_compression_ratio=4,
-        )
-        params = init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
-        z = jnp.asarray(rng.normal(size=(1, 4, 7, 4, 4)), jnp.float32)
-        temb = jnp.asarray([0.05], jnp.float32)
-        ref = np.asarray(
-            V.decoder_forward(params["decoder"], cfg, z, temb)
-        )
-        for n in (2, 3):
-            got = np.asarray(
-                V.decoder_forward(params["decoder"], cfg, z, temb,
-                                  tail_t_chunks=n)
-            )
-            assert got.shape == ref.shape
-            np.testing.assert_allclose(
-                got, ref, atol=2e-6, rtol=2e-6,
-                err_msg=f"causal={causal} chunks={n}",
-            )
+    cfg = V.LtxVaeConfig()  # production 2B config, non-causal decoder
+    zshape = (1, 128, 13, 16, 24)  # 512x768x97f latents
 
-    # facade routing: decode(tail_t_chunks=...) matches plain decode
-    out_ref = V.decode(params, cfg, z, temb, use_tiling=False,
-                       use_framewise_decoding=False)
-    out_chk = V.decode(params, cfg, z, temb, use_tiling=False,
-                       use_framewise_decoding=False, tail_t_chunks=2)
-    np.testing.assert_allclose(np.asarray(out_chk), np.asarray(out_ref),
-                               atol=2e-6, rtol=2e-6)
+    gib = 1024 ** 3
+    # plenty of HBM: dense
+    assert V.select_decode_mode(cfg, zshape, free_bytes=64 * gib,
+                                channels_last=True) == {}
+    # dense peak (~8 GiB here) doesn't fit, head does: streamed tail
+    picked = V.select_decode_mode(cfg, zshape, free_bytes=6 * gib,
+                                  channels_last=True)
+    assert picked.get("tail_stream_chunks", 0) >= 2
+    assert not picked.get("tail_stream_from_ups", False)
+    # head doesn't fit either: ups-split stream
+    picked = V.select_decode_mode(cfg, zshape, free_bytes=int(2.4 * gib),
+                                  channels_last=True)
+    assert picked.get("tail_stream_chunks", 0) >= 4
+    assert picked.get("tail_stream_from_ups", False)
+    # almost nothing fits: fullstream
+    picked = V.select_decode_mode(cfg, zshape, free_bytes=1 * gib,
+                                  channels_last=True)
+    assert picked.get("full_stream_chunks", 0) >= 2
+    # non-streamable cases stay dense regardless of pressure
+    assert V.select_decode_mode(cfg, zshape, free_bytes=1 * gib,
+                                channels_last=False) == {}
+    import dataclasses as _dc
+    causal = _dc.replace(cfg, decoder_causal=True)
+    assert V.select_decode_mode(causal, zshape, free_bytes=1 * gib,
+                                channels_last=True) == {}
+    short = (1, 128, 2, 16, 24)
+    assert V.select_decode_mode(cfg, short, free_bytes=1 * gib,
+                                channels_last=True) == {}
 
 
 def test_decoder_channels_last_equals_ncdhw(rng):
@@ -565,10 +556,11 @@ def test_decoder_channels_last_equals_ncdhw(rng):
             V.decoder_forward(params["decoder"], cfg, z, temb, noise_key=nk,
                               channels_last=False)
         )
-        for chunks in (1, 2):
+        # streaming tail (chunks=2) only for the non-causal configs
+        for chunks in (0,) if causal else (0, 2):
             got = np.asarray(
                 V.decoder_forward(params["decoder"], cfg, z, temb,
-                                  noise_key=nk, tail_t_chunks=chunks,
+                                  noise_key=nk, tail_stream_chunks=chunks,
                                   channels_last=True)
             )
             assert got.shape == ref.shape
@@ -614,7 +606,9 @@ def test_decoder_tail_streaming_is_exact(rng):
         )
         assert got.shape == ref.shape
         np.testing.assert_allclose(
-            got, ref, atol=2e-6, rtol=2e-6, err_msg=f"stream chunks={n}"
+            # f32 rounding only: overlap-save sums in a different order
+            # than the contiguous conv (observed max ~3e-6 of O(1) values)
+            got, ref, atol=5e-6, rtol=5e-6, err_msg=f"stream chunks={n}"
         )
 
     # facade: jitted head + per-mode step programs, same result
@@ -623,7 +617,7 @@ def test_decoder_tail_streaming_is_exact(rng):
     got_j = np.asarray(
         _jitted_decoder_stream(cfg, 3)(params["decoder"], z, temb)
     )
-    np.testing.assert_allclose(got_j, ref, atol=2e-6, rtol=2e-6)
+    np.testing.assert_allclose(got_j, ref, atol=5e-6, rtol=5e-6)
 
     # too many chunks: first chunk must exceed the pipeline delay
     with pytest.raises(ValueError, match="pipeline delay"):
@@ -678,7 +672,7 @@ def test_decoder_fullstream_is_exact(rng):
     got_j = np.asarray(
         V._jitted_decoder_fullstream(cfg, 2)(params["decoder"], z, temb)
     )
-    np.testing.assert_allclose(got_j, ref, atol=2e-6, rtol=2e-6)
+    np.testing.assert_allclose(got_j, ref, atol=5e-6, rtol=5e-6)
 
     # first chunk below the pipeline fill must be rejected
     with pytest.raises(ValueError, match="pipeline fill"):
@@ -831,4 +825,4 @@ def test_decoder_ups_tail_stream_is_exact(rng):
     got_j = np.asarray(
         V._jitted_decoder_stream_ups(cfg, 2)(params["decoder"], z, temb)
     )
-    np.testing.assert_allclose(got_j, ref, atol=2e-6, rtol=2e-6)
+    np.testing.assert_allclose(got_j, ref, atol=5e-6, rtol=5e-6)
