@@ -170,6 +170,45 @@ def bench_13b_subprocess():
               flush=True)
 
 
+def bench_long_subprocess():
+    """Long-clip flagship (512x768x257f, S=12672 — the multi-k-block
+    attention kernel + policy-streamed decode) in a SUBPROCESS: the
+    257-frame video + decode stream want the whole chip.  Failure is
+    non-fatal."""
+    import subprocess
+    import sys
+
+    try:
+        res = subprocess.run(
+            [sys.executable, "-m", "benches.bench_long"],
+            capture_output=True, text=True, timeout=2400,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for sl in res.stderr.splitlines():
+            if sl.startswith("[bench_long") or "packed attention" in sl:
+                print(f"[bench] {sl}", file=sys.stderr, flush=True)
+        emitted = 0
+        for line in res.stdout.strip().splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                rec = json.loads(line)
+                _emit(rec["metric"], float(rec["value"]), rec["unit"],
+                      rec.get("vs_baseline"))
+                emitted += 1
+            except Exception:
+                continue
+        if not emitted:
+            raise RuntimeError(
+                f"no metrics in long-clip sub-bench output (rc={res.returncode}): "
+                f"{res.stderr.strip().splitlines()[-1] if res.stderr.strip() else ''}"
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] long-clip sub-bench skipped: {e}",
+              file=__import__("sys").stderr, flush=True)
+
+
 def bench_coldstart_subprocess():
     """Time-to-first-frame of a fresh CLI-equivalent process at the default
     preset (512x768x97f, 7 steps) — benches/coldstart.py, run TWICE:
@@ -230,6 +269,7 @@ def main():
 
     bench_13b_subprocess()  # BEFORE any device work in this process
     bench_coldstart_subprocess()  # also pre-device (fresh-process timing)
+    bench_long_subprocess()  # 257f long clip — also wants the whole chip
 
     full = get_config_by_version("0.9.8-2b-distilled")
     cfg = full.transformer
@@ -315,6 +355,56 @@ def main():
     )
     _stage("e2e measured")
     _emit("e2e_s_512x768x97f", e2e_s, "s", E2E_BASELINE_S / e2e_s)
+
+    # ---- 3b. VAE encode (parity-tested path, first perf record) ------------
+    x97 = jnp.asarray(rng.normal(size=(1, 3, 97, 512, 768)) * 0.5, jnp.bfloat16)
+    enc_fn = jax.jit(functools.partial(V.encoder_forward, cfg=vcfg))
+    try:
+        enc_s, _ = _timed_best(
+            lambda: enc_fn(vae_params["encoder"], x=x97), fetch
+        )
+        _stage("vae encode measured")
+        _emit("vae_encode_ms_512x768x97f", enc_s * 1000.0, "ms", None)
+    except Exception as e:  # noqa: BLE001 — encode metric must not kill later rows
+        print(f"[bench] vae encode skipped: {e}", file=__import__("sys").stderr,
+              flush=True)
+    x97 = None
+
+    # ---- 3c. i2v e2e: one image anchor on the first latent frame ------------
+    def e2e_i2v():
+        emb = t5_fwd(t5_params, ids, pos_bias)
+        img = jnp.asarray(rng.normal(size=(1, 3, 512, 768)) * 0.5, jnp.float32)
+        return P.generate(
+            pipe,
+            prompt_embeds=emb,
+            prompt_attention_mask=mask,
+            image=img,
+            height=512, width=768, num_frames=97,
+            output_type="tensor",
+            use_pcg_rng=False,
+            vae_tail_stream_chunks=2,
+        )
+
+    try:
+        i2v_s, vid2 = _timed_best(e2e_i2v, fetch, n=2)
+        assert vid2.shape[0] == 1 and 512 in vid2.shape, vid2.shape
+        vid2 = None
+        _stage("i2v e2e measured")
+        _emit("e2e_i2v_s_512x768x97f", i2v_s, "s", None)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] i2v e2e skipped: {e}", file=__import__("sys").stderr,
+              flush=True)
+
+    # ---- 3d. serving throughput/latency (beyond the reference) -------------
+    try:
+        from benches import serving_bench
+
+        serving_bench.run(pipe, t5_fwd(t5_params, ids, pos_bias), mask,
+                          n_requests=4, max_batch=2, emit=print)
+        _stage("serving measured")
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] serving bench skipped: {e}",
+              file=__import__("sys").stderr, flush=True)
 
     # ---- 4. HEADLINE: production denoise scan -------------------------------
     s = f * h * w

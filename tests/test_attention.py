@@ -411,3 +411,45 @@ def test_packed_wrapper_routes_long_sequences(rng, monkeypatch):
     # viability no longer caps sequence length (only the lane grouping)
     assert fap.packed_viable(100_000, 100_000, h, d)
     assert not fap.packed_viable(256, 256, 3, 64)  # 3 heads % 2 per group
+
+
+def test_transformer_forward_long_kernel_gate(rng, monkeypatch):
+    """Model-level gate for the long-sequence regime: a DiT forward whose
+    self-attention routes through the LONG multi-k-block kernel (threshold
+    lowered to stay CPU-sized; production hits it at S=12672 for
+    512x768x257f) must match the XLA-attention forward to the DiT parity
+    envelope (MSE < 1e-4, the reference's transformer gate)."""
+    import jax
+
+    from candle_video_tpu.models.ltx_video import transformer as TF
+    from candle_video_tpu.models.ltx_video.pipeline import build_video_coords
+    from candle_video_tpu.ops.pallas import flash_attention_packed as fap
+    from candle_video_tpu.ops.rope import rope_cos_sin
+
+    cfg = TF.LtxTransformerConfig(
+        in_channels=8, out_channels=8, num_attention_heads=2,
+        attention_head_dim=64, cross_attention_dim=128, num_layers=2,
+        caption_channels=16,
+    )
+    params = TF.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    f, h, w = 6, 13, 14  # S = 1092 (not a block multiple: padding in play)
+    s = f * h * w
+    hidden = jnp.asarray(rng.normal(size=(1, s, 8)), jnp.float32)
+    enc = jnp.asarray(rng.normal(size=(1, 8, 16)) * 0.3, jnp.float32)
+    t = jnp.full((1,), 993.0, jnp.float32)
+    coords = build_video_coords(f, h, w, frame_rate=25.0)
+    grid = jnp.asarray(coords)[None] / jnp.asarray(
+        [cfg.rope_base_num_frames, cfg.rope_base_height, cfg.rope_base_width],
+        jnp.float32,
+    )
+    cos, sin = rope_cos_sin(grid, cfg.inner_dim, cfg.rope_theta)
+
+    ref = np.asarray(
+        TF.forward(params, cfg, hidden, enc, t, cos, sin, attn_impl="xla")
+    )
+    monkeypatch.setattr(fap, "_ONEPASS_KP_MAX", 512)  # force the long route
+    got = np.asarray(
+        TF.forward(params, cfg, hidden, enc, t, cos, sin, attn_impl="pallas")
+    )
+    mse = float(((got - ref) ** 2).mean())
+    assert mse < 1e-4, mse

@@ -291,3 +291,41 @@ def test_server_rejects_conditioning_kwargs():
         VideoGenerationServer(
             object(), [ShapeBucket(64, 64, 9, 4)], image_latents=object()
         )
+
+
+def test_mixed_bucket_fairness_under_burst(tiny_pipe):
+    """Fairness under a mixed-bucket burst (the serving-bench load shape):
+    alternating big/small requests with continuous batching must ALL
+    complete, grouped per bucket, and neither class may be tail-starved —
+    the first minority-class result lands before the majority class
+    finishes its backlog (submission order is preserved within a class)."""
+    import time
+
+    small = ShapeBucket(64, 64, 9, 2)
+    big = ShapeBucket(96, 96, 9, 2)
+    server = VideoGenerationServer(
+        tiny_pipe, [small, big], max_batch=2, max_sequence_length=8,
+        attn_impl="xla",
+    )
+    emb = jnp.zeros((1, 8, 16), jnp.float32)
+    mask = jnp.ones((1, 8), jnp.float32)
+
+    def req(seed, bucket):
+        return Request(prompt_embeds=emb, prompt_attention_mask=mask,
+                       bucket=bucket, output_type="latent", seed=seed)
+
+    reqs = [req(i, big if i % 2 == 0 else small) for i in range(6)]
+    outs = [server.submit(r) for r in reqs]
+    server.start()
+    try:
+        done_at = {}
+        for i, q in enumerate(outs):
+            res = q.get(timeout=600)
+            assert not isinstance(res, Exception), res
+            done_at[i] = time.time()
+    finally:
+        server.stop()
+    assert server.stats()["served"] == 6
+    # no tail-starvation: the first small-bucket request (index 1) finishes
+    # no later than the LAST big-bucket request (index 4)
+    assert done_at[1] <= done_at[4] + 1e-6
