@@ -589,9 +589,8 @@ def decoder_head_pre_ups_forward_cl(params, cfg: LtxVaeConfig, z, temb=None,
 # ---------------------------------------------------------------------------
 # streaming decoder (overlap-save): exact chunked decode with ZERO recompute
 #
-# The halo-chunked tail (tail_chunk_bounds below) reprocesses `halo` frames
-# per chunk boundary; for small chunks the halo dominates (22 extra frames
-# per chunk at the production tail).  The streaming variants instead carry
+# (The exact halo-chunked tail these replaced — removed in round 5 —
+# reprocessed 22 frames per chunk boundary.)  The streaming variants carry
 # each temporal conv's last (kt-1) INPUT frames as explicit state between
 # chunks (overlap-save), so every frame is convolved exactly once:
 # identical math to the unchunked decoder, O(chunk) activation memory in T,
@@ -1364,9 +1363,11 @@ def _jitted_decoder(cfg: LtxVaeConfig, channels_last: bool):
 @functools.lru_cache(maxsize=8)
 def _jitted_decoder_stream(cfg: LtxVaeConfig, n_chunks: int):
     """Streaming-tail decode with head and per-chunk steps as SEPARATE
-    jits (same peak-bounding rationale as _jitted_decoder_chunked), zero
-    chunking recompute.  Three step programs (first/mid/last) compile once
-    each per shape; state rides between them as device arrays."""
+    jits, zero chunking recompute.  One jit over the whole chunked decode
+    would let XLA overlap the chunks' buffers and lose the peak-memory
+    win (observed RESOURCE_EXHAUSTED next to a resident 5 GiB T5); the
+    step programs (first/mid/last) compile once each per shape and state
+    rides between them as device arrays."""
     head = jax.jit(lambda p, zz, tt: decoder_head_forward_cl(p, cfg, zz, tt))
     step = {
         m: jax.jit(

@@ -18,8 +18,10 @@ precomputes them once per video shape instead of per forward.
 
 from __future__ import annotations
 
+import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,6 +48,7 @@ def video_coords_grid(num_frames: int, height: int, width: int) -> np.ndarray:
     return np.stack([gf, gh, gw], axis=-1).reshape(-1, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("dim", "theta"))
 def rope_cos_sin(
     grid,
     dim: int,
@@ -53,7 +56,9 @@ def rope_cos_sin(
 ):
     """grid [..., seq, 3] (already normalized to base sizes) -> (cos, sin).
 
-    Output shapes [..., seq, dim], f32.
+    Output shapes [..., seq, dim], f32.  Jitted (static dim/theta): the
+    eager version cost ~8 tiny per-op XLA compiles per video shape on the
+    remote-compile tunnel.
     """
     freqs = jnp.asarray(rope_freqs(dim, theta))  # [steps]
     steps = freqs.shape[0]
@@ -131,6 +136,7 @@ def rope_split_permutation(dim: int) -> np.ndarray:
     return np.concatenate([idx[:, 0::2], idx[:, 1::2]], axis=1).reshape(-1)
 
 
+@jax.jit
 def rope_split_tables(cos, sin):
     """Compact combined table for the split layout.
 

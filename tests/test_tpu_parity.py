@@ -170,3 +170,62 @@ def test_e2e_tpu_f32_xla_vs_cpu_f32(oracle):
     print(f"\nTPU f32/xla vs CPU f32: latent MSE {lat_mse:.3e}, PSNR {psnr:.1f} dB")
     assert lat_mse < 1e-5, lat_mse
     assert psnr > 45.0, psnr
+
+
+def test_long_kernel_on_chip_at_production_s():
+    """The multi-k-block LONG attention kernel on the real chip at the
+    long-clip production sequence length (S = 33*16*24 = 12672, the
+    512x768x257f token count) vs the XLA f32-softmax oracle — 4 heads so
+    the oracle's [H, S, S] f32 scores (~2.6 GiB) fit beside the inputs.
+    Covers both the natural layout and the split-rope layout the
+    production dispatch uses."""
+    import jax.numpy as jnp
+
+    from candle_video_tpu.ops import attention_xla
+    from candle_video_tpu.ops.pallas.flash_attention_packed import (
+        _ONEPASS_KP_MAX,
+        _packed_long,
+    )
+    from candle_video_tpu.ops.rope import (
+        rope_cos_sin,
+        rope_split_permutation,
+        rope_split_tables,
+    )
+
+    assert jax.devices()[0].platform in ("tpu", "axon")
+    b, s, h, d = 1, 33 * 16 * 24, 4, 64
+    assert s > _ONEPASS_KP_MAX  # this SHAPE is the long-kernel regime
+    scale = 1.0 / np.sqrt(d)
+    rng = np.random.default_rng(0)
+    q4 = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    k4 = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    v4 = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    ref = np.asarray(attention_xla(q4, k4, v4, scale), np.float32)
+
+    q, k, v = (x.reshape(b, s, h * d) for x in (q4, k4, v4))
+    got = np.asarray(
+        _packed_long(q, k, v, num_heads=h, scale=scale).reshape(b, s, h, d),
+        np.float32,
+    )
+    mse = float(((got - ref) ** 2).mean())
+    print(f"\nlong kernel natural layout S={s}: MSE {mse:.3e}")
+    assert mse < 1e-6, mse  # bf16-rounding level, matches the one-pass gate
+
+    # split layout with in-kernel q+k rotation (production self-attn path)
+    grid = jnp.asarray(rng.uniform(size=(1, s, 3)), jnp.float32)
+    cos, sin = rope_cos_sin(grid, h * d)
+    from candle_video_tpu.ops.rope import apply_rotary_emb
+
+    qr = apply_rotary_emb(q4, cos.reshape(1, s, h, d), sin.reshape(1, s, h, d))
+    kr = apply_rotary_emb(k4, cos.reshape(1, s, h, d), sin.reshape(1, s, h, d))
+    ref_r = np.asarray(attention_xla(qr, kr, v4, scale), np.float32)
+    perm = rope_split_permutation(h * d)
+    cs = rope_split_tables(cos, sin)
+    got_s = np.asarray(
+        _packed_long(q[..., perm], k[..., perm], v, num_heads=h, scale=scale,
+                     rope_split=cs).reshape(b, s, h, d),
+        np.float32,
+    )
+    mse_s = float(((got_s - ref_r) ** 2).mean())
+    print(f"long kernel split layout S={s}: MSE {mse_s:.3e}")
+    assert mse_s < 2e-6, mse_s
