@@ -134,17 +134,18 @@ def build_t5_int8_params(cfg):
     }
 
 
-def bench_13b_subprocess():
-    """13B int8 single-chip denoise (benches/bench_13b.py) in a SUBPROCESS:
-    its ~12.7 GiB int8 param tree needs the whole chip, so it runs before
-    this process touches the device and releases everything on exit.
+def bench_13b_subprocess(module="benches.bench_13b"):
+    """13B single-chip denoise/e2e (benches/bench_13b.py W8A16 staged-T5,
+    benches/bench_13b_w4.py W4A16 resident-T5) in a SUBPROCESS: the
+    8-13 GiB quantized param trees need the whole chip, so they run before
+    this process touches the device and release everything on exit.
     Failure is non-fatal — the 2B suite below is the contract."""
     import subprocess
     import sys
 
     try:
         res = subprocess.run(
-            [sys.executable, "-m", "benches.bench_13b"],
+            [sys.executable, "-m", module],
             capture_output=True, text=True, timeout=1500, cwd=os.path.dirname(
                 os.path.abspath(__file__)),
         )
@@ -162,11 +163,11 @@ def bench_13b_subprocess():
             emitted += 1
         if not emitted:
             raise RuntimeError(
-                f"no metrics in 13B sub-bench output (rc={res.returncode}): "
+                f"no metrics in {module} output (rc={res.returncode}): "
                 f"{res.stderr.strip().splitlines()[-1] if res.stderr.strip() else ''}"
             )
     except Exception as e:  # noqa: BLE001 — bench must survive 13B hiccups
-        print(f"[bench] 13B sub-bench skipped: {e}", file=__import__("sys").stderr,
+        print(f"[bench] {module} skipped: {e}", file=__import__("sys").stderr,
               flush=True)
 
 
@@ -268,6 +269,7 @@ def main():
     from candle_video_tpu.ops.rope import rope_cos_sin
 
     bench_13b_subprocess()  # BEFORE any device work in this process
+    bench_13b_subprocess("benches.bench_13b_w4")  # W4A16 resident-T5 tier
     bench_coldstart_subprocess()  # also pre-device (fresh-process timing)
     bench_long_subprocess()  # 257f long clip — also wants the whole chip
 
@@ -302,6 +304,23 @@ def main():
     _stage("vae decode measured")
     _emit("vae_decode_ms_512x768x97f", vae_s * 1000.0,
           "ms", VAE_BASELINE_MS / (vae_s * 1000.0))
+
+    # ---- 1b. VAE encode (parity-tested path, first perf record) ------------
+    # BEFORE the 5.1 GiB T5 is resident: even the facade's spatial-tiled
+    # encode (the reference's own path at this size, vae.rs:1426-1467)
+    # peaks ~6 GiB of activations; the round-5 first cut ran it after e2e
+    # with everything resident and RESOURCE_EXHAUSTED'd the chip.
+    x97 = jnp.asarray(rng.normal(size=(1, 3, 97, 512, 768)) * 0.5, jnp.bfloat16)
+    try:
+        enc_s, _ = _timed_best(
+            lambda: V.encode(vae_params, vcfg, x97), fetch
+        )
+        _stage("vae encode measured")
+        _emit("vae_encode_ms_512x768x97f", enc_s * 1000.0, "ms", None)
+    except Exception as e:  # noqa: BLE001 — encode metric must not kill later rows
+        print(f"[bench] vae encode skipped: {e}", file=__import__("sys").stderr,
+              flush=True)
+    x97 = None
 
     # ---- 2. full-size T5-XXL int8 encode -----------------------------------
     t5_cfg = T5.t5_xxl()
@@ -355,28 +374,27 @@ def main():
     )
     _stage("e2e measured")
     _emit("e2e_s_512x768x97f", e2e_s, "s", E2E_BASELINE_S / e2e_s)
+    video = None
 
-    # ---- 3b. VAE encode (parity-tested path, first perf record) ------------
-    x97 = jnp.asarray(rng.normal(size=(1, 3, 97, 512, 768)) * 0.5, jnp.bfloat16)
-    enc_fn = jax.jit(functools.partial(V.encoder_forward, cfg=vcfg))
-    try:
-        enc_s, _ = _timed_best(
-            lambda: enc_fn(vae_params["encoder"], x=x97), fetch
-        )
-        _stage("vae encode measured")
-        _emit("vae_encode_ms_512x768x97f", enc_s * 1000.0, "ms", None)
-    except Exception as e:  # noqa: BLE001 — encode metric must not kill later rows
-        print(f"[bench] vae encode skipped: {e}", file=__import__("sys").stderr,
-              flush=True)
-    x97 = None
+    # ---- free the 5.1 GiB T5 before the i2v/serving/headline sections ------
+    # (keeping it resident through i2v + serving RESOURCE_EXHAUSTED the chip
+    # on the round-5 first cut: each section compiles fresh executables whose
+    # workspaces stack on top of DiT + VAE + T5).  The embeds are tiny;
+    # i2v/serving consume them precomputed — their timings cover denoise +
+    # decode (+ anchor encode for i2v), not the 37 ms T5 encode.
+    embeds = t5_fwd(t5_params, ids, pos_bias)
+    jax.block_until_ready(embeds)
+    pipe.t5_params = None
+    t5_params = None
+    t5_fwd = None
+    _stage("t5 freed (embeds kept)")
 
     # ---- 3c. i2v e2e: one image anchor on the first latent frame ------------
     def e2e_i2v():
-        emb = t5_fwd(t5_params, ids, pos_bias)
         img = jnp.asarray(rng.normal(size=(1, 3, 512, 768)) * 0.5, jnp.float32)
         return P.generate(
             pipe,
-            prompt_embeds=emb,
+            prompt_embeds=embeds,
             prompt_attention_mask=mask,
             image=img,
             height=512, width=768, num_frames=97,
@@ -399,7 +417,7 @@ def main():
     try:
         from benches import serving_bench
 
-        serving_bench.run(pipe, t5_fwd(t5_params, ids, pos_bias), mask,
+        serving_bench.run(pipe, embeds, mask,
                           n_requests=4, max_batch=2, emit=print)
         _stage("serving measured")
     except Exception as e:  # noqa: BLE001

@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(W8A16) at load, with dequant fused into the Pallas "
                         "matmul k-loop — runs the 13B model (~26 GiB BF16) on "
                         "one 16 GiB chip at ~12.7 GiB")
+    p.add_argument("--dit-int4", action="store_true",
+                   help="quantize the DiT block linears to weight-only int4 "
+                        "(W4A16, GGUF-Q4_K-form affine group-32) at load — "
+                        "~8.1 GiB at 13B, small enough for the int8 T5-XXL "
+                        "to stay resident next to the DiT on a 16 GiB chip "
+                        "(~2x the weight rounding of --dit-int8)")
     p.add_argument("--t5-dir", type=str, default=None,
                    help="HF text_encoder dir (safetensors, BF16 path)")
     p.add_argument("--tokenizer", type=str, default=None,
@@ -180,12 +186,13 @@ def load_pipeline(args):
         else:
             tsd = load_sharded(os.path.join(args.weights_path, "transformer"))
             vsd = load_sharded(os.path.join(args.weights_path, "vae"))
-        if args.dit_int8:
+        if args.dit_int8 or args.dit_int4:
             # streaming host-side quantization: the BF16 block tree (26 GiB
             # at 13B) never exists on device; fold the split-rope
             # permutation in at load (free) when the run will dispatch the
             # packed kernel
             from .models.ltx_video.loader import (
+                transformer_params_w4_from_state_dict,
                 transformer_params_w8_from_state_dict,
             )
             from .models.ltx_video.pipeline import split_rope_viable
@@ -193,11 +200,12 @@ def load_pipeline(args):
             presplit = split_rope_viable(cfg.transformer,
                                          _gen_seq_len(args, cfg),
                                          args.attn_impl)
-            print("Loading DiT as weight-only int8 (W8A16"
+            wload = (transformer_params_w4_from_state_dict if args.dit_int4
+                     else transformer_params_w8_from_state_dict)
+            print(f"Loading DiT as weight-only int{4 if args.dit_int4 else 8} "
+                  f"(W{4 if args.dit_int4 else 8}A16"
                   f"{', split-rope folded in' if presplit else ''})")
-            tparams = transformer_params_w8_from_state_dict(
-                tsd, cfg.transformer, dtype, rope_split=presplit
-            )
+            tparams = wload(tsd, cfg.transformer, dtype, rope_split=presplit)
             rope_presplit = presplit
         else:
             tparams = transformer_params_from_state_dict(
@@ -208,11 +216,12 @@ def load_pipeline(args):
         print("No --weights-path: using random-init models (smoke mode)")
         import jax
 
-        if args.dit_int8:
-            # direct-int8 device init: never materializes the BF16 tree
+        if args.dit_int8 or args.dit_int4:
+            # direct-quantized device init: never materializes the BF16 tree
             # (26 GiB at 13B — would not fit the chip it is meant to enable)
-            tparams = TF.init_params_w8(jax.random.PRNGKey(0), cfg.transformer,
-                                        dtype=dtype)
+            init_q = TF.init_params_w4 if args.dit_int4 else TF.init_params_w8
+            tparams = init_q(jax.random.PRNGKey(0), cfg.transformer,
+                             dtype=dtype)
             # uniform-byte payloads are permutation-invariant: mark them
             # split-rope laid out so generate() never caches a SECOND
             # permuted copy of the q/k stacks (+1.6 GiB at 13B)
@@ -265,13 +274,16 @@ def main(argv=None) -> int:
 
     import jax
 
-    if args.dit_int8 and args.mesh:
+    if (args.dit_int8 or args.dit_int4) and args.mesh:
+        flag = "--dit-int4" if args.dit_int4 else "--dit-int8"
         raise SystemExit(
-            "--dit-int8 is a single-chip capacity path and does not compose "
+            f"{flag} is a single-chip capacity path and does not compose "
             "with --mesh: with 2+ chips the BF16 tree already fits sharded "
-            "(13 GiB/chip at tp=2) and runs faster than int8 dequant — drop "
-            "--dit-int8 for multi-chip runs."
+            "(13 GiB/chip at tp=2) and runs faster than quantized dequant — "
+            f"drop {flag} for multi-chip runs."
         )
+    if args.dit_int8 and args.dit_int4:
+        raise SystemExit("--dit-int8 and --dit-int4 are mutually exclusive")
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.compilation_cache:

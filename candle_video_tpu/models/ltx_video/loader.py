@@ -206,29 +206,71 @@ def transformer_params_w8_from_state_dict(
     (``LtxPipeline.mark_rope_presplit()``) so dispatch refuses non-packed
     fallbacks (the permuted q/k are wrong for the interleaved rotation).
     """
-    from ...ops.rope import rope_split_permutation
     from .transformer import quantize_w8_np
+
+    def q_leaf(w):
+        q8, sc = quantize_w8_np(w, qblock)
+        return {"w8": q8, "w8_scale": sc}
+
+    return _transformer_params_quant_from_state_dict(
+        sd, cfg, dtype, rope_split, q_leaf
+    )
+
+
+def transformer_params_w4_from_state_dict(
+    sd: Dict[str, np.ndarray],
+    cfg: LtxTransformerConfig,
+    dtype=jnp.bfloat16,
+    qblock: int = 32,
+    scale_dtype="bfloat16",
+    rope_split: bool = False,
+):
+    """Diffusers-layout state dict → weight-only-int4 (W4A16) stacked tree.
+
+    The 13B-plus-resident-T5 loader: same host-side streaming shape as the
+    W8A16 one, but block linears are packed to 4-bit affine group-``qblock``
+    (GGUF Q4_K's dequant form; ops/pallas/int4_weight_matmul.py).  At the
+    default bf16 scale/min the device tree is ~5 bits/weight ≈ 8.1 GiB at
+    13B, leaving room for the int8 T5-XXL to stay resident.  Same
+    ``rope_split`` contract as the W8 loader."""
+    from ...ops.pallas.int4_weight_matmul import quantize_int4_blockwise
+
+    def q_leaf(w):
+        p, s, m = quantize_int4_blockwise(w, qblock, scale_dtype=scale_dtype)
+        return {"w4": p, "w4_scale": s, "w4_min": m}
+
+    return _transformer_params_quant_from_state_dict(
+        sd, cfg, dtype, rope_split, q_leaf
+    )
+
+
+def _transformer_params_quant_from_state_dict(sd, cfg, dtype, rope_split,
+                                              q_leaf):
+    """Shared streaming-quantizing loader body: quantize per layer straight
+    off the (mmap-backed) state dict via ``q_leaf(w[K, N]) -> leaf dict``,
+    stack, upload.  Neither host RAM nor the device ever holds the BF16
+    block tree."""
+    from ...ops.rope import rope_split_permutation
 
     L = cfg.num_layers
     perm = np.asarray(rope_split_permutation(cfg.inner_dim)) if rope_split else None
 
     def q_lin_stacked(path_fmt, permute=False):
         """Stack one block-linear over layers, quantizing per layer."""
-        w0 = sd[path_fmt.format(0) + ".weight"]
-        k, n = w0.shape[1], w0.shape[0]  # torch [out,in] -> ours [K,N]
-        q8 = np.empty((L, k, n), np.int8)
-        sc = np.empty((L, k // qblock, n), np.float32)
+        per = []
         has_bias = path_fmt.format(0) + ".bias" in sd
-        bias = np.empty((L, n), np.float32) if has_bias else None
+        bias = np.empty((L, np.asarray(sd[path_fmt.format(0) + ".weight"]).shape[0]),
+                        np.float32) if has_bias else None
         for i in range(L):
             w = np.ascontiguousarray(sd[path_fmt.format(i) + ".weight"].T)
             if permute and perm is not None:
                 w = w[:, perm]
-            q8[i], sc[i] = quantize_w8_np(w, qblock)
+            per.append(q_leaf(w))
             if has_bias:
                 b = np.asarray(sd[path_fmt.format(i) + ".bias"], np.float32)
                 bias[i] = b[perm] if (permute and perm is not None) else b
-        out = {"w8": jnp.asarray(q8), "w8_scale": jnp.asarray(sc)}
+        out = {key: jnp.asarray(np.stack([p[key] for p in per]))
+               for key in per[0]}
         if has_bias:
             out["bias"] = jnp.asarray(bias, dtype)
         return out

@@ -594,7 +594,7 @@ def _use_split_rope(pipe, tcfg, seq_len: int, attn_impl: str) -> bool:
     if not split_rope_viable(tcfg, seq_len, attn_impl):
         return False
     to_q = pipe.transformer_params["blocks"]["attn1"]["to_q"]
-    if "weight" not in to_q and "w8" not in to_q:
+    if "weight" not in to_q and "w8" not in to_q and "w4" not in to_q:
         return False  # W8A8-quantized params keep the interleaved layout
     return True
 

@@ -245,6 +245,33 @@ def test_e2e_w8_quantized_dit(tiny_pipeline):
     assert 0 < rel < 0.05, f"w8 e2e relative deviation {rel}"
 
 
+def test_e2e_w4_quantized_dit(tiny_pipeline):
+    """generate() with the DiT block linears in weight-only int4 (W4A16 —
+    the 13B-plus-resident-T5 path, CLI --dit-int4): full pipeline dispatch
+    runs the packed-nibble linears and lands close to the dense output
+    (~2x the W8A16 envelope: 4-bit affine group quantization)."""
+    import dataclasses as _dc
+
+    qpipe = _dc.replace(
+        tiny_pipeline,
+        transformer_params=TF.quantize_transformer_params_w4(
+            tiny_pipeline.transformer_params, qblock=4
+        ),
+    )
+    kw = dict(
+        prompt="a cat playing piano", negative_prompt="blurry",
+        height=64, width=64, num_frames=5, num_inference_steps=3,
+        output_type="latent", max_sequence_length=8, attn_impl="xla",
+        seed=11,
+    )
+    dense = np.asarray(P.generate(tiny_pipeline, **kw))
+    quant = np.asarray(P.generate(qpipe, **kw))
+    assert quant.shape == dense.shape
+    assert np.isfinite(quant).all()
+    rel = np.abs(quant - dense).max() / (np.abs(dense).max() + 1e-6)
+    assert 0 < rel < 0.10, f"w4 e2e relative deviation {rel}"
+
+
 def test_materialize_split_rope_inplace():
     """In-place split-rope materialization (13B memory path): the permuted
     tree replaces transformer_params (no second copy), the cache is primed,
