@@ -268,10 +268,18 @@ def main():
     from candle_video_tpu.models.ltx_video.zeros_init import zeros_transformer_params
     from candle_video_tpu.ops.rope import rope_cos_sin
 
-    bench_13b_subprocess()  # BEFORE any device work in this process
-    bench_13b_subprocess("benches.bench_13b_w4")  # W4A16 resident-T5 tier
-    bench_coldstart_subprocess()  # also pre-device (fresh-process timing)
-    bench_long_subprocess()  # 257f long clip — also wants the whole chip
+    # dev iteration: CVT_BENCH_SKIP="13b,13b_w4,coldstart,long" skips the
+    # subprocess sections (each needs the whole chip for 10-25 min); the
+    # driver runs with it unset — all sections on.
+    skip = {t.strip() for t in os.environ.get("CVT_BENCH_SKIP", "").split(",")}
+    if "13b" not in skip:
+        bench_13b_subprocess()  # BEFORE any device work in this process
+    if "13b_w4" not in skip:
+        bench_13b_subprocess("benches.bench_13b_w4")  # W4A16 resident-T5 tier
+    if "coldstart" not in skip:
+        bench_coldstart_subprocess()  # also pre-device (fresh-process timing)
+    if "long" not in skip:
+        bench_long_subprocess()  # 257f long clip — also wants the whole chip
 
     full = get_config_by_version("0.9.8-2b-distilled")
     cfg = full.transformer

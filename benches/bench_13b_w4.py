@@ -3,17 +3,21 @@
 The W8A16 13B tree (12.7 GiB) forces STAGED memory: T5 encodes first and
 is freed before the DiT materializes (benches/bench_13b.py).  At W4A16
 (packed nibbles + bf16 affine group-32 scale/min ≈ 5 bits/weight,
-ops/pallas/int4_weight_matmul.py) the 13B DiT is ~8.2 GiB — so the
-5.1 GiB int8 T5-XXL stays resident NEXT TO the DiT and the VAE decoder,
-and every generate() call runs prompt -> encode -> denoise -> decode with
-no model swapping.  The reference's only quantized tier is GGUF T5
-(README.md quantization table); its 13B model cannot run on its 12 GB
-reference GPU at any precision.
+ops/pallas/int4_weight_matmul.py) the 13B DiT is ~7.8 GiB, and with the
+T5-XXL ALSO at true 4-bit (the GGUF Q4_K in-HBM carry, ~2.8 GiB) the
+whole serving set — DiT + encoder + VAE decoder — is ~11.6 GiB resident
+on one 16 GiB chip: every generate() call runs prompt -> encode ->
+denoise -> decode with no model swapping, and the decode runs the same
+full-frame ups-split stream as the W8A16 bench.  (First cut kept the
+int8 T5: 13.9 GiB resident OOM'd the decode's half-res dense prefix.)
+The reference's GGUF tiers include exactly Q4_K (README.md quantization
+table); its 13B model cannot run on its 12 GB GPU at any precision.
 
 Metrics (one JSON line each):
   denoise_step_ms_13b_int4_512x768x97f
   e2e_s_13b_int4_512x768x97f  — INCLUDES the resident-T5 prompt encode
   hbm_gib_13b_int4_resident   — DiT + T5 + VAE decoder footprint
+  t5_hbm_gib_xxl_q4k          — the true-4-bit T5 footprint
 
 Weights are random (direct-int4 device init — real checkpoints quantize
 at load via loader.transformer_params_w4_from_state_dict); compute cost
@@ -40,8 +44,70 @@ def log(msg):
           file=sys.stderr, flush=True)
 
 
+def build_t5_w4_params(cfg):
+    """Full-size T5-XXL with every linear at TRUE 4-bit in HBM — the same
+    leaf format params_from_gguf(keep_quantized=True) produces for Q4_K
+    files ({w4 packed nibbles, w4_scale, w4_min} — t5.py::_linear).
+    Deterministic on-device fill (a 9.5 GiB host transfer would dominate
+    setup); values only matter statistically."""
+    import functools
+
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k", "n"))
+    def wp(seed, k, n):
+        i = jax.lax.iota(jnp.uint32, (k // 2) * n).reshape(k // 2, n)
+        return ((i * jnp.uint32(2654435761) + seed) % 256).astype(jnp.uint8)
+
+    @functools.partial(jax.jit, static_argnames=("k", "n"))
+    def sc(k, n, v):
+        return jnp.full((k // 32, n), v, jnp.float32)
+
+    def qlin(seed, k, n):
+        # uniform nibbles q~U[0,15]; affine centers dequant at 0
+        return {"w4": wp(jnp.uint32(seed), k, n),
+                "w4_scale": sc(k, n, 1e-4), "w4_min": sc(k, n, -7.5e-4)}
+
+    d, ff = cfg.d_model, cfg.d_ff
+    blocks = []
+    for i in range(cfg.num_layers):
+        blk = {
+            "attn": {
+                "q": qlin(7 * i + 1, d, d),
+                "k": qlin(7 * i + 2, d, d),
+                "v": qlin(7 * i + 3, d, d),
+                "o": qlin(7 * i + 4, d, d),
+            },
+            "attn_norm": {"weight": jnp.ones((d,), jnp.float32)},
+            "ffn": {
+                "wi_0": qlin(7 * i + 5, d, ff),
+                "wi_1": qlin(7 * i + 6, d, ff),
+                "wo": qlin(7 * i + 7, ff, d),
+            },
+            "ffn_norm": {"weight": jnp.ones((d,), jnp.float32)},
+        }
+        if i == 0:
+            blk["attn"]["relative_attention_bias"] = jnp.zeros(
+                (cfg.relative_attention_num_buckets, cfg.num_heads),
+                jnp.float32,
+            )
+        blocks.append(blk)
+
+    @jax.jit
+    def emb(seed):
+        i = jax.lax.iota(jnp.uint32, cfg.vocab_size * d).reshape(
+            cfg.vocab_size, d)
+        u = ((i * jnp.uint32(2654435761) + seed) % 255).astype(jnp.int8)
+        return u.astype(jnp.bfloat16) * 0.02
+
+    return {
+        "embedding": emb(jnp.uint32(99)),
+        "blocks": blocks,
+        "final_norm": {"weight": jnp.ones((d,), jnp.float32)},
+    }
+
+
 def main():
-    from bench import build_t5_int8_params
     from candle_video_tpu.models.ltx_video import configs as C
     from candle_video_tpu.models.ltx_video import pipeline as P
     from candle_video_tpu.models.ltx_video import scheduler as S
@@ -57,13 +123,13 @@ def main():
     log(f"13B config: {cfg.num_layers}L, {cfg.num_attention_heads}x"
         f"{cfg.attention_head_dim}, S={s}")
 
-    # --- everything RESIDENT: T5 int8, 13B int4 DiT, VAE decoder ----------
+    # --- everything RESIDENT: T5 Q4_K-form w4, 13B int4 DiT, VAE decoder ---
     t5_cfg = T5.t5_xxl()
     assert t5_cfg.d_model == cfg.caption_channels
-    t5_params = build_t5_int8_params(t5_cfg)
+    t5_params = build_t5_w4_params(t5_cfg)
     jax.block_until_ready(t5_params)
     t5_gib = sum(x.nbytes for x in jax.tree.leaves(t5_params)) / 2**30
-    log(f"T5-XXL int8 resident: {t5_gib:.2f} GiB")
+    log(f"T5-XXL w4 (Q4_K-form) resident: {t5_gib:.2f} GiB")
 
     params = TF.init_params_w4(jax.random.PRNGKey(0), cfg, qblock=32)
     jax.block_until_ready(params)
@@ -146,9 +212,9 @@ def main():
     decode_mode = "stream_ups_n6_fullframe"
 
     def e2e():
-        # prompt -> T5 encode (resident!) -> denoise -> full-frame streamed
-        # decode, all in one call, no staging.  No tiled fallback: failure
-        # must fail the bench.
+        # prompt -> T5 encode (resident!) -> denoise -> full-frame ups-
+        # split streamed decode, all in one call, no staging.  No tiled
+        # fallback: failure must fail the bench.
         return P.generate(
             pipe,
             prompt="a red panda climbing a snow-covered pine tree",
@@ -184,6 +250,12 @@ def main():
     print(json.dumps({
         "metric": "hbm_gib_13b_int4_resident",
         "value": round(total_gib, 2),
+        "unit": "GiB",
+        "vs_baseline": None,
+    }), flush=True)
+    print(json.dumps({
+        "metric": "t5_hbm_gib_xxl_q4k",
+        "value": round(t5_gib, 2),
         "unit": "GiB",
         "vs_baseline": None,
     }), flush=True)

@@ -637,6 +637,7 @@ def generate(
     use_vae_slicing: bool = False,
     vae_tail_stream_chunks: int = 0,  # exact streaming tail (overlap-save)
     vae_tail_stream_from_ups: bool = False,  # stream from the last upsampler
+    vae_full_stream_chunks: int = 0,  # exact full-stream decode (O(chunk))
     vae_auto_decode: bool = True,  # no explicit mode -> select_decode_mode
     decode_warmup: bool = False,  # compile decode programs during denoise
     decode_fn=None,
@@ -776,7 +777,7 @@ def generate(
     # time and decode time, and the two must agree on the programs.
     if (vae_auto_decode and output_type == "tensor"
             and pipe.vae_params is not None and decode_fn is None
-            and not vae_tail_stream_chunks):
+            and not vae_tail_stream_chunks and not vae_full_stream_chunks):
         picked = V.select_decode_mode(
             vcfg,
             (eff_batch, vcfg.latent_channels, latent_num_frames,
@@ -785,8 +786,6 @@ def generate(
         vae_tail_stream_chunks = picked.get("tail_stream_chunks", 0)
         vae_tail_stream_from_ups = picked.get("tail_stream_from_ups", False)
         vae_full_stream_chunks = picked.get("full_stream_chunks", 0)
-    else:
-        vae_full_stream_chunks = 0
     decode_call_kwargs = dict(
         tiling=vae_tiling,
         use_tiling=use_vae_tiling,

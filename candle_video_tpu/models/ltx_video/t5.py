@@ -87,6 +87,21 @@ def position_bias(params, cfg: T5Config, seq_len: int) -> jnp.ndarray:
 
 
 def _linear(p, x):
+    if "w4" in p:
+        # TRUE 4-bit in HBM: GGUF Q4_K payloads ride as packed nibbles with
+        # their per-group affine (s, m) folded in bit-exactly (Q4_K dequant
+        # IS w = s[g]*q + m[g]) — half the weight bytes of the int8 carry
+        # below AND no rank-G group-sum correction matmul (the min is fused
+        # in the kernel's dequant).  ops/pallas/int4_weight_matmul.py.
+        from ...ops.pallas.int4_weight_matmul import w4_matmul_auto
+
+        b, s, k = x.shape
+        gs = k // p["w4_scale"].shape[0]
+        y = w4_matmul_auto(
+            x.reshape(b * s, k), p["w4"], p["w4_scale"], p["w4_min"],
+            out_dtype=x.dtype, qblock=gs,
+        )
+        return y.reshape(b, s, -1)
     if "w_q" in p:
         # weights stay int8 in HBM; dequant is fused into the matmul k-loop
         # (reference semantics: quantized_t5_encoder.rs:60-71 keeps QTensors
@@ -307,10 +322,20 @@ def params_from_gguf(
             qs, d = DQ.extract_q8_0_fields(f.raw_tensor(name), info.n_elements)
             return {"w_q": to_kmajor(qs, 1),
                     "s": to_kmajor(d, DQ.QK8_0).astype(np.float32)}
-        if info.ggml_type in (DQ.GGML_Q4_K, DQ.GGML_Q5_K):
-            extract = (DQ.extract_q4_k_fields if info.ggml_type == DQ.GGML_Q4_K
-                       else DQ.extract_q5_k_fields)
-            q, s, bias = extract(f.raw_tensor(name), info.n_elements)
+        if info.ggml_type == DQ.GGML_Q4_K:
+            # TRUE 4-bit carry: pack the 4-bit codes two-per-byte and keep
+            # the per-group affine (s, m) — bit-exact, half the HBM of the
+            # int8 carry, no group-sum correction (see _linear "w4")
+            from ...ops.pallas.int4_weight_matmul import pack_nibbles
+
+            q, s, bias = DQ.extract_q4_k_fields(
+                f.raw_tensor(name), info.n_elements)
+            return {"w4": pack_nibbles(to_kmajor(q, 1)),
+                    "w4_scale": to_kmajor(s, 32).astype(np.float32),
+                    "w4_min": to_kmajor(bias, 32).astype(np.float32)}
+        if info.ggml_type == DQ.GGML_Q5_K:
+            q, s, bias = DQ.extract_q5_k_fields(
+                f.raw_tensor(name), info.n_elements)
             return {"w_q": to_kmajor(q, 1), "s": to_kmajor(s, 32),
                     "b": to_kmajor(bias, 32)}
         if info.ggml_type == DQ.GGML_Q6_K:

@@ -1495,7 +1495,11 @@ def select_decode_mode(cfg: LtxVaeConfig, z_shape, *,
     if free_bytes is None or not cl or cfg.decoder_causal or t < 4:
         # no memory pressure signal, oracle layout, causal padding, or too
         # few latent frames to stream: dense (streaming needs the first
-        # chunk to exceed the conv-pipeline fill)
+        # chunk to exceed the conv-pipeline fill).  NOTE the axon tunnel
+        # plugin reports no memory_stats() — there the policy always lands
+        # here; pass free_bytes= (or explicit chunk kwargs) when models are
+        # resident.  Measured: dense 512x768x257f decode fits an otherwise
+        # empty v5e chip (benches/bench_long.py).
         return {}
     budget = 0.85 * free_bytes  # leave headroom for the video output
     if _DENSE_PEAK_B_PER_PX * px <= budget:

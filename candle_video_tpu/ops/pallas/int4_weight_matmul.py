@@ -55,6 +55,19 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 
+def pack_nibbles(q):
+    """[.., K, N] int codes in [0, 15] -> packed uint8 [.., K//2, N]
+    (K-half planar: byte j = row j | row K/2+j << 4 — module docstring).
+    The carry path for pre-quantized payloads (GGUF Q4_K's q fields fold
+    in BIT-EXACTLY with their per-group affine (s, m))."""
+    q = np.asarray(q)
+    k = q.shape[-2]
+    assert k % 2 == 0, f"K={k} must be even to pack nibbles"
+    assert q.min() >= 0 and q.max() <= 15, "nibble codes must be in [0, 15]"
+    qu = q.astype(np.uint8)
+    return (qu[..., : k // 2, :] | (qu[..., k // 2 :, :] << 4)).astype(np.uint8)
+
+
 def quantize_int4_blockwise(w, qblock: int = QBLOCK4,
                             scale_dtype=np.float32):
     """[.., K, N] float -> (packed uint8 [.., K//2, N], s [.., K//qblock, N],
@@ -86,9 +99,7 @@ def quantize_int4_blockwise(w, qblock: int = QBLOCK4,
     sf = s.astype(np.float32)[..., :, None, :]
     mf = m.astype(np.float32)[..., :, None, :]
     q = np.clip(np.round((g - mf) / sf), 0, 15).astype(np.uint8)
-    q = q.reshape(*w.shape[:-2], k, n)
-    packed = (q[..., : k // 2, :] | (q[..., k // 2 :, :] << 4)).astype(np.uint8)
-    return packed, s, m
+    return pack_nibbles(q.reshape(*w.shape[:-2], k, n)), s, m
 
 
 def dequantize_int4_blockwise(packed, s, m, qblock: int = QBLOCK4):

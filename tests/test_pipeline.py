@@ -245,6 +245,30 @@ def test_e2e_w8_quantized_dit(tiny_pipeline):
     assert 0 < rel < 0.05, f"w8 e2e relative deviation {rel}"
 
 
+def test_e2e_fullstream_decode_kwarg(tiny_pipeline):
+    """generate(vae_full_stream_chunks=N) drives the fully streamed decode
+    (streaming head AND tail) explicitly — the kwarg the 13B-W4 resident
+    bench uses; output must equal the dense decode bit-for-bit-ish (the
+    streaming decode is exact; only op-order noise)."""
+    kw = dict(
+        prompt="a cat playing piano",
+        height=64, width=64, num_frames=61,  # latent t=16: first chunk >= fill
+        num_inference_steps=2,
+        output_type="tensor", max_sequence_length=8, attn_impl="xla",
+        seed=3,
+    )
+    dense = np.asarray(P.generate(tiny_pipeline, **kw))
+    streamed = np.asarray(
+        P.generate(tiny_pipeline, vae_full_stream_chunks=2, **kw)
+    )
+    assert streamed.shape == dense.shape
+    # exact modulo op-order noise (f32 video tensor scaled to [0, 255])
+    np.testing.assert_allclose(
+        streamed.astype(np.float32), dense.astype(np.float32),
+        atol=1e-3, rtol=1e-5,
+    )
+
+
 def test_e2e_w4_quantized_dit(tiny_pipeline):
     """generate() with the DiT block linears in weight-only int4 (W4A16 —
     the 13B-plus-resident-T5 path, CLI --dit-int4): full pipeline dispatch

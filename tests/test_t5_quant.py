@@ -359,3 +359,39 @@ def test_w8_matmul_xla_qblock16(rng):
         np.float32,
     )
     assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2
+
+
+def test_q4k_true_4bit_carry(tmp_path, rng):
+    """Q4_K payloads now ride as PACKED NIBBLES (round 5): the leaf is
+    {w4, w4_scale, w4_min} with half the payload bytes of the int8 carry
+    and no group-sum correction leaf, the dequant is bit-exact (Q4_K IS
+    w = s[g]*q + m[g]), and the forward matches the dequant-once oracle."""
+    from candle_video_tpu.ops.pallas.int4_weight_matmul import (
+        dequantize_int4_blockwise,
+    )
+
+    path, cfg = _kquant_gguf(
+        tmp_path, rng, {"ffn_gate": DQ.GGML_Q4_K, "ffn_up": DQ.GGML_Q4_K,
+                        "ffn_down": DQ.GGML_Q4_K},
+    )
+    quant = T5.params_from_gguf(path, cfg, keep_quantized=True)
+    p = quant["blocks"][0]["ffn"]["wi_0"]
+    assert set(p) == {"w4", "w4_scale", "w4_min"}
+    k = cfg.d_model
+    assert p["w4"].shape == (k // 2, cfg.d_ff) and p["w4"].dtype == jnp.uint8
+    # bit-exact vs the GGUF dequant reference
+    from candle_video_tpu.quant.gguf import GGUFFile
+
+    f = GGUFFile(str(path))
+    ref_w = np.asarray(f.tensor("enc.blk.0.ffn_gate.weight"), np.float32).T
+    f.close()
+    got_w = dequantize_int4_blockwise(
+        np.asarray(p["w4"]), np.asarray(p["w4_scale"]), np.asarray(p["w4_min"])
+    )
+    np.testing.assert_array_equal(got_w, ref_w)
+    # forward parity vs dequant-once
+    dense = T5.params_from_gguf(path, cfg, dtype=jnp.float32)
+    ids = rng.integers(0, 64, size=(1, 10)).astype(np.int32)
+    ref = np.asarray(T5.forward(dense, cfg, jnp.asarray(ids)), np.float32)
+    got = np.asarray(T5.forward(quant, cfg, jnp.asarray(ids)), np.float32)
+    assert np.abs(got - ref).max() < 5e-2
