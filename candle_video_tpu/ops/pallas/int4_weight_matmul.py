@@ -129,23 +129,30 @@ def w4_matmul_xla(
     bias=None,  # [N]
     out_dtype=jnp.bfloat16,
     qblock: int = QBLOCK4,
+    compute_dtype=jnp.float32,
 ):
     """Transient-dequant W4A16: packed HBM weight -> bf16 temp -> matmul.
 
-    Same dequant math as the fused kernel (nibble -> f32 * s + m -> bf16
-    MXU input, f32 accumulation) done once per matmul through XLA; the
-    bf16 weight exists only as a per-matmul temporary and the resident
-    copy stays 4-bit."""
+    Same dequant math as the fused kernel (nibble -> compute_dtype * s + m
+    -> bf16 MXU input, f32 accumulation) done once per matmul through XLA;
+    the bf16 weight exists only as a per-matmul temporary and the resident
+    copy stays 4-bit.  ``compute_dtype=jnp.bfloat16`` halves the dequant
+    intermediates' HBM traffic at one extra bf16 rounding of s*q+m (the
+    nibble itself is exact in bf16) — measured 10-13% faster per matmul at
+    13B DiT shapes in an 8-weight scan (benches/w4_dequant_exp.py: 4.48 vs
+    5.02 ms at 4096x4096, 8.30 vs 9.54 at the FF up), so the DiT path
+    (_apply_linear_w4) passes bf16; f32 stays the signature default for
+    oracle-exactness in tests and the bit-exact-carry T5 story."""
     kh, n = w_p.shape
     k = kh * 2
     assert k % qblock == 0 and s_w.shape == (k // qblock, n), (
         f"scales {s_w.shape} must be [{k}//{qblock}, {n}]"
     )
-    lo = (w_p & jnp.uint8(0xF)).astype(jnp.float32)
-    hi = (w_p >> jnp.uint8(4)).astype(jnp.float32)
+    lo = (w_p & jnp.uint8(0xF)).astype(compute_dtype)
+    hi = (w_p >> jnp.uint8(4)).astype(compute_dtype)
     q = jnp.concatenate([lo, hi], axis=0).reshape(k // qblock, qblock, n)
-    wf = q * s_w.astype(jnp.float32)[:, None, :] + \
-        m_w.astype(jnp.float32)[:, None, :]
+    wf = q * s_w.astype(compute_dtype)[:, None, :] + \
+        m_w.astype(compute_dtype)[:, None, :]
     out = jnp.dot(
         x.astype(jnp.bfloat16), wf.reshape(k, n).astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
@@ -288,13 +295,15 @@ W4_XLA_MIN_M = 1024
 
 
 def w4_matmul_auto(x, w_p, s_w, m_w, bias=None, out_dtype=jnp.bfloat16,
-                   qblock: int = QBLOCK4, **pallas_kwargs):
+                   qblock: int = QBLOCK4, compute_dtype=jnp.float32,
+                   **pallas_kwargs):
     """Dispatch W4A16 by regime: fused Pallas kernel for small M (weight-
     bandwidth-bound — 4-bit HBM traffic), transient XLA dequant for large
-    M (MXU-bound)."""
+    M (MXU-bound; ``compute_dtype`` forwarded there)."""
     if x.shape[0] >= W4_XLA_MIN_M:
         return w4_matmul_xla(
-            x, w_p, s_w, m_w, bias=bias, out_dtype=out_dtype, qblock=qblock
+            x, w_p, s_w, m_w, bias=bias, out_dtype=out_dtype, qblock=qblock,
+            compute_dtype=compute_dtype,
         )
     return w4_matmul(
         x, w_p, s_w, m_w, bias=bias, out_dtype=out_dtype, qblock=qblock,

@@ -29,12 +29,36 @@ so the runtime layer offers:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue
 import threading
 import time
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=1)
+def _rows_normal_impl():
+    """ONE stable jitted [B]-seed -> stacked-normal-rows function: jax.jit
+    caches on the function object, so a jit defined per call re-traces
+    every time (measured ~1.5 s/call host-side on the tunnel).  Lazy so
+    importing serving.py does not import jax."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("shp",))
+    def impl(sds, shp):
+        def one(s):
+            return jax.random.normal(jax.random.PRNGKey(s), shp, jnp.float32)[0]
+
+        return jax.vmap(one)(sds)
+
+    return impl
+
+
+def _rows_normal_jit(seeds, shp):
+    return _rows_normal_impl()(seeds, shp)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,29 +120,35 @@ class VideoGenerationServer:
     # -- lifecycle ----------------------------------------------------------
 
     def warmup(self, warm_embeds=None, warm_mask=None):
-        """Compile every bucket once (zero/neutral inputs)."""
+        """Compile every bucket's program signatures once (zero/neutral
+        inputs): the single-request program AND, when ``max_batch > 1``,
+        the ``max_batch``-row continuous-batching program — a batched
+        signature left cold here compiles inside the first real burst and
+        dominates its sojourn times (measured: batch=2 cold compile made
+        batched serving look 11x slower than sequential)."""
         import jax.numpy as jnp
 
         for b in self._buckets.values():
-            kwargs = self._bucket_kwargs(b)
             if warm_embeds is None:
                 cap = self._pipe.config.transformer.caption_channels
                 warm_embeds = jnp.zeros((1, 128, cap), jnp.float32)
                 warm_mask = jnp.ones((1, 128), jnp.float32)
             t0 = time.time()
-            out = self._generate(
-                Request(
-                    prompt_embeds=warm_embeds,
-                    prompt_attention_mask=warm_mask,
-                    negative_prompt_embeds=warm_embeds if b.guidance else None,
-                    negative_prompt_attention_mask=warm_mask if b.guidance else None,
-                    bucket=b,
-                    output_type=(
-                        "tensor" if self._pipe.vae_params is not None else "latent"
-                    ),
+            req = Request(
+                prompt_embeds=warm_embeds,
+                prompt_attention_mask=warm_mask,
+                negative_prompt_embeds=warm_embeds if b.guidance else None,
+                negative_prompt_attention_mask=warm_mask if b.guidance else None,
+                bucket=b,
+                seed=0,
+                output_type=(
+                    "tensor" if self._pipe.vae_params is not None else "latent"
                 ),
             )
+            out = self._generate(req)
             np.asarray(out[(0,) * out.ndim])
+            if self._max_batch > 1:
+                self._batched_generate([req] * self._max_batch, b)
             self._stats[b.key()] = {"compile_s": time.time() - t0, "served": 0,
                                     "last_ms": 0.0}
         return self
@@ -297,27 +327,55 @@ class VideoGenerationServer:
 
     def _serve_batch(self, items):
         """Serve same-bucket requests as one batched generate call."""
+        requests = [r for r, _ in items]
+        b = self._pick_bucket(requests[0])
+        t0 = time.time()
+        out = self._batched_generate(requests, b)
+        ms = (time.time() - t0) * 1000.0
+        rec = self._stats.setdefault(b.key(), {"served": 0, "last_ms": 0.0})
+        rec["served"] += len(items)
+        rec["last_ms"] = round(ms, 1)
+        rec["last_batch"] = len(items)
+        self._served += len(items)
+        return [out[i : i + 1] for i in range(len(items))]
+
+    def _rows_normal(self, seeds, shape, offset=0):
+        """All rows' seeded draws in ONE jitted vmap on device: bit-identical
+        to concatenating per-seed ``jax.random.normal(PRNGKey(seed), shape)``
+        rows (threefry is key-deterministic under vmap), without the
+        per-request dispatch + 2-3 MB host round-trip that cost ~2 s per
+        batch through the tunnel (round-5 measurement: 5.6 s server batch
+        vs 3.67 s for the bare batched generate)."""
+        import jax.numpy as jnp
+
+        return _rows_normal_jit(
+            jnp.asarray([s + offset for s in seeds], jnp.uint32), tuple(shape)
+        )
+
+    def _batched_generate(self, requests, b):
+        """One generate() over N same-bucket embed-carrying requests (the
+        continuous-batching data path; also used by warmup to pre-compile
+        the batched program signatures)."""
         import jax.numpy as jnp
 
         from .models.ltx_video.pipeline import generate
 
-        requests = [r for r, _ in items]
-        b = self._pick_bucket(requests[0])
-        t0 = time.time()
-        latents = jnp.asarray(
-            np.concatenate([self._row_latents(r, b) for r in requests], axis=0),
-            jnp.float32,
-        )
+        shape = self._latent_shape(b)
+        if self._gen_kwargs.get("use_pcg_rng", True):
+            # PCG rows are host-side by contract (bit-exact reference RNG)
+            latents = jnp.asarray(
+                np.concatenate(
+                    [self._row_latents(r, b) for r in requests], axis=0),
+                jnp.float32,
+            )
+        else:
+            latents = self._rows_normal([r.seed for r in requests], shape)
         decode_noise = None
         if (requests[0].output_type != "latent"
                 and self._pipe.vae_params is not None
                 and self._pipe.config.vae.timestep_conditioning):
-            decode_noise = jnp.asarray(
-                np.concatenate(
-                    [self._row_decode_noise(r, b) for r in requests], axis=0
-                ),
-                jnp.float32,
-            )
+            decode_noise = self._rows_normal(
+                [r.seed for r in requests], shape, offset=2)
         cat = lambda xs: jnp.concatenate([jnp.asarray(x) for x in xs], axis=0)
         neg = requests[0].negative_prompt_embeds is not None
         out = generate(
@@ -338,13 +396,7 @@ class VideoGenerationServer:
             **self._bucket_kwargs(b),
         )
         np.asarray(out[(0,) * out.ndim])  # forced sync
-        ms = (time.time() - t0) * 1000.0
-        rec = self._stats.setdefault(b.key(), {"served": 0, "last_ms": 0.0})
-        rec["served"] += len(items)
-        rec["last_ms"] = round(ms, 1)
-        rec["last_batch"] = len(items)
-        self._served += len(items)
-        return [out[i : i + 1] for i in range(len(items))]
+        return out
 
     def _loop(self):
         while not self._stop.is_set():
