@@ -22,6 +22,7 @@ Subcommands → reference counterpart:
     vae-roundtrip   examples/verify/verify_vae_roundtrip.rs
     vae-tiling      examples/verify/verify_vae_tiling.rs
     t5              verify-t5 (Cargo.toml:104)
+    quant           (no direct binary) W8A16/W4A16 matmul vs dequant oracle
     pipeline        examples/verify/verify_pipeline.rs
     pipeline-step   verify-pipeline-step (Cargo.toml:108)
 """
@@ -423,6 +424,60 @@ def verify_pipeline_step():
             float(np.abs(np.asarray(one) - np.asarray(want)).max()), 1e-4)
 
 
+def verify_quant():
+    """Weight-only quantized matmuls vs unfused dequant oracles: W8A16
+    (int8-in-HBM, the T5/13B carry) and W4A16 (packed nibbles + affine
+    group-32 — GGUF Q4_K's dequant form, the 13B-plus-resident-T5 tier).
+    No direct reference binary (its GGUF path is exercised by verify-t5);
+    covers ops/pallas/int{8,4}_weight_matmul.py."""
+    import jax.numpy as jnp
+
+    from candle_video_tpu.ops.pallas.int4_weight_matmul import (
+        dequantize_int4_blockwise,
+        quantize_int4_blockwise,
+        w4_matmul_auto,
+    )
+    from candle_video_tpu.ops.pallas.int8_weight_matmul import (
+        dequantize_int8_blockwise,
+        quantize_int8_blockwise,
+        w8_matmul_auto,
+    )
+
+    rng = np.random.default_rng(11)
+    k, n = 256, 192
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.02
+    x = rng.normal(size=(16, k)).astype(np.float32)
+
+    q8, s8 = quantize_int8_blockwise(w)
+    ref8 = np.asarray(
+        (jnp.asarray(x, jnp.bfloat16) @ jnp.asarray(
+            dequantize_int8_blockwise(q8, s8), jnp.float32
+        ).astype(jnp.bfloat16)).astype(jnp.float32)
+    )
+    got8 = np.asarray(w8_matmul_auto(
+        jnp.asarray(x), jnp.asarray(q8), jnp.asarray(s8),
+        out_dtype=jnp.float32,
+    ))
+    _report("quant-w8", "relmax",
+            float(np.abs(got8 - ref8).max() / np.abs(ref8).max()), 3e-3)
+
+    p4, s4, m4 = quantize_int4_blockwise(w)
+    ref4 = np.asarray(
+        (jnp.asarray(x, jnp.bfloat16) @ jnp.asarray(
+            dequantize_int4_blockwise(p4, s4, m4), jnp.float32
+        ).astype(jnp.bfloat16)).astype(jnp.float32)
+    )
+    got4 = np.asarray(w4_matmul_auto(
+        jnp.asarray(x), jnp.asarray(p4), jnp.asarray(s4), jnp.asarray(m4),
+        out_dtype=jnp.float32,
+    ))
+    # the fused kernel's k-tile partial sums reorder the f32 accumulation
+    # vs the oracle's single matmul — a wider envelope than w8 (whose
+    # small-M tile covers all of K in one step at these shapes)
+    _report("quant-w4", "relmax",
+            float(np.abs(got4 - ref4).max() / np.abs(ref4).max()), 6e-3)
+
+
 # ---------------------------------------------------------------------------
 
 TARGETS = {
@@ -436,6 +491,7 @@ TARGETS = {
     "vae-roundtrip": verify_vae_roundtrip,
     "vae-tiling": verify_vae_tiling,
     "t5": verify_t5,
+    "quant": verify_quant,
     "pipeline": verify_pipeline,
     "pipeline-step": verify_pipeline_step,
 }
