@@ -395,3 +395,8 @@ def test_q4k_true_4bit_carry(tmp_path, rng):
     ref = np.asarray(T5.forward(dense, cfg, jnp.asarray(ids)), np.float32)
     got = np.asarray(T5.forward(quant, cfg, jnp.asarray(ids)), np.float32)
     assert np.abs(got - ref).max() < 5e-2
+    # the scan-stacked layout (production T5) composes with w4 leaves
+    stacked = T5.params_from_gguf(path, cfg, keep_quantized=True, stacked=True)
+    assert not isinstance(stacked["blocks"], (list, tuple))
+    got_s = np.asarray(T5.forward(stacked, cfg, jnp.asarray(ids)), np.float32)
+    np.testing.assert_allclose(got_s, got, atol=5e-3, rtol=2e-2)
