@@ -65,6 +65,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num-videos-per-prompt", type=int, default=1)
     p.add_argument("--output-dir", type=str, default="output")
+    p.add_argument("--serve", action="store_true",
+                   help="interactive serving loop: compile the "
+                        "(--height/--width/--num-frames/steps) bucket once, "
+                        "then read one prompt per stdin line and write "
+                        "output-dir/serve_NNN.mp4 per request "
+                        "(serving.VideoGenerationServer; EOF or 'quit' ends)")
+    p.add_argument("--serve-max-batch", type=int, default=1,
+                   help="continuous-batching width for --serve; 1 is optimal "
+                        "at chip-saturating buckets (512x768x97f on one v5e "
+                        "— benchmarked in docs/benchmark_results.md), >1 "
+                        "pays on small buckets")
     p.add_argument("--save-frames", action="store_true")
     p.add_argument("--gif", action="store_true")
     p.add_argument("--mp4", action="store_true", default=True)
@@ -269,6 +280,87 @@ def load_pipeline(args):
     return pipe
 
 
+def run_serve(args, pipe) -> int:
+    """Interactive serving REPL over the serving runtime: the CLI-shaped
+    bucket compiles ONCE at warmup (single-request program + the
+    max_batch-row one when batching), then each stdin line is a request
+    and each result lands as ``output_dir/serve_NNN.mp4``.  The reference
+    has no serving story (one-shot CLI); this is the user-facing face of
+    serving.VideoGenerationServer (shape buckets, continuous batching,
+    no-starvation pending list — measured in benches/serving_bench.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .serving import Request, ShapeBucket, VideoGenerationServer
+    from .utils import video_io
+
+    inf = pipe.config.inference
+    steps = args.num_inference_steps or inf.num_inference_steps
+    g = (args.guidance_scale if args.guidance_scale is not None
+         else inf.guidance_scale)
+    mock = pipe.t5_params is None or pipe.tokenizer is None
+    guidance = bool(g and g > 1.0) and not mock
+    bucket = ShapeBucket(args.height, args.width, args.num_frames, steps,
+                         guidance)
+    if mock:
+        print("[serve] no T5 weights: prompts map to hash-seeded random "
+              "embeddings (smoke mode — pass --t5-gguf/--t5-dir for real "
+              "serving)")
+    server = VideoGenerationServer(
+        pipe, [bucket], max_batch=args.serve_max_batch,
+        use_pcg_rng=args.pcg_rng,
+        vae_tail_stream_chunks=args.vae_stream_chunks,
+        attn_impl=args.attn_impl,
+    )  # steps/guidance ride the bucket (server._bucket_kwargs)
+    print(f"[serve] warming bucket {bucket.key()} (one-time compiles)...")
+    t0 = time.time()
+    server.warmup()
+    print(f"[serve] warm in {time.time() - t0:.1f}s — one prompt per line "
+          "(EOF or 'quit' ends)")
+    server.start()
+    os.makedirs(args.output_dir, exist_ok=True)
+    n = 0
+    try:
+        for line in sys.stdin:
+            prompt = line.strip()
+            if prompt in ("quit", "exit"):
+                break
+            if not prompt:
+                continue
+            if mock:
+                rngk = np.random.default_rng(abs(hash(prompt)) % (2 ** 32))
+                cap = pipe.config.transformer.caption_channels
+                req = Request(
+                    prompt_embeds=jnp.asarray(
+                        rngk.normal(size=(1, args.max_sequence_length, cap))
+                        * 0.02, jnp.float32),
+                    prompt_attention_mask=jnp.ones(
+                        (1, args.max_sequence_length), jnp.float32),
+                    bucket=bucket, seed=args.seed + n,
+                )
+            else:
+                req = Request(
+                    prompt=prompt,
+                    negative_prompt=args.negative_prompt if guidance else None,
+                    bucket=bucket, seed=args.seed + n,
+                )
+            t0 = time.time()
+            out = server.generate_sync(req, timeout=1800)
+            np.asarray(out[(0,) * out.ndim])  # forced sync (axon quirk)
+            path = video_io.save_mp4(
+                out, os.path.join(args.output_dir, f"serve_{n:03d}.mp4"),
+                args.frame_rate,
+            )
+            print(f"[serve] #{n} {prompt[:48]!r} -> {path} "
+                  f"({time.time() - t0:.2f}s)")
+            n += 1
+    except KeyboardInterrupt:
+        print("\n[serve] interrupted")
+    server.stop()
+    print(f"[serve] served {server.stats()['served']} videos")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -284,6 +376,17 @@ def main(argv=None) -> int:
         )
     if args.dit_int8 and args.dit_int4:
         raise SystemExit("--dit-int8 and --dit-int4 are mutually exclusive")
+    if args.serve and args.mesh:
+        raise SystemExit(
+            "--serve is the single-chip serving loop and does not compose "
+            "with --mesh (multi-chip serving needs multi-host routing — "
+            "docs/roadmap.md)"
+        )
+    if args.serve and (args.image or args.output_type == "latent"):
+        raise SystemExit(
+            "--serve serves text prompts to video files; --image and "
+            "--output-type latent go through the one-shot CLI path"
+        )
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.compilation_cache:
@@ -306,6 +409,9 @@ def main(argv=None) -> int:
     print(f"devices: {jax.devices()}")
 
     pipe = load_pipeline(args)
+
+    if args.serve:
+        return run_serve(args, pipe)
 
     mesh_ctx = None
     pp_kwargs = {}

@@ -329,3 +329,18 @@ def test_mixed_bucket_fairness_under_burst(tiny_pipe):
     # no tail-starvation: the first small-bucket request (index 1) finishes
     # no later than the LAST big-bucket request (index 4)
     assert done_at[1] <= done_at[4] + 1e-6
+
+
+def test_cli_serve_rejects_mesh_and_image():
+    """--serve is the single-chip serving loop: --mesh and one-shot-only
+    surfaces (--image, latent output) must fail fast with guidance."""
+    import pytest
+
+    from candle_video_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="single-chip serving loop"):
+        main(["--serve", "--mesh", "tp=2"])
+    with pytest.raises(SystemExit, match="one-shot CLI path"):
+        main(["--serve", "--image", "x.png"])
+    with pytest.raises(SystemExit, match="one-shot CLI path"):
+        main(["--serve", "--output-type", "latent"])
