@@ -165,8 +165,37 @@ def tiny_pipe_vae():
     )
     tparams = TF.init_params(jax.random.PRNGKey(0), tcfg, dtype=jnp.float32)
     vparams = init_vae_params(jax.random.PRNGKey(1), vcfg, dtype=jnp.float32)
+    # tiny T5 + mock tokenizer: the string-prompt serving path (CLI --serve)
+    from candle_video_tpu.models.ltx_video import t5 as T5
+    from candle_video_tpu.utils.tokenizer import MockTokenizer
+
+    t5cfg = T5.T5Config(vocab_size=64, d_model=16, d_kv=4, d_ff=32,
+                        num_layers=1, num_heads=4)
+    rng = np.random.default_rng(3)
+
+    def lin(k, n):
+        return {"weight": jnp.asarray(rng.normal(size=(k, n)) * 0.05,
+                                      jnp.float32)}
+
+    t5params = {
+        "embedding": jnp.asarray(rng.normal(size=(64, 16)) * 0.05, jnp.float32),
+        "blocks": [{
+            "attn": {"q": lin(16, 16), "k": lin(16, 16), "v": lin(16, 16),
+                     "o": lin(16, 16),
+                     "relative_attention_bias": jnp.asarray(
+                         rng.normal(size=(32, 4)), jnp.float32)},
+            "attn_norm": {"weight": jnp.ones((16,), jnp.float32)},
+            "ffn": {"wi_0": lin(16, 32), "wi_1": lin(16, 32),
+                    "wo": lin(32, 16)},
+            "ffn_norm": {"weight": jnp.ones((16,), jnp.float32)},
+        }],
+        "final_norm": {"weight": jnp.ones((16,), jnp.float32)},
+    }
     return LtxPipeline(config=full, transformer_params=tparams,
-                       vae_params=vparams)
+                       vae_params=vparams, t5_params=t5params,
+                       t5_config=t5cfg,
+                       tokenizer=MockTokenizer(vocab_size=64,
+                                               model_max_length=8))
 
 
 def _treq(seed=1):
@@ -344,3 +373,38 @@ def test_cli_serve_rejects_mesh_and_image():
         main(["--serve", "--image", "x.png"])
     with pytest.raises(SystemExit, match="one-shot CLI path"):
         main(["--serve", "--output-type", "latent"])
+
+
+def test_string_prompt_serving(tiny_pipe_vae):
+    """String-prompt requests (the CLI --serve path with a real tokenizer +
+    T5): the server routes them through generate(prompt=...) singly (the
+    batcher only groups embed-carrying requests), and the result matches a
+    direct generate() call with the same seed."""
+    from candle_video_tpu.models.ltx_video.pipeline import generate
+
+    pipe = tiny_pipe_vae
+    if pipe.tokenizer is None:
+        pytest.skip("fixture has no tokenizer")
+    bucket = ShapeBucket(64, 64, 5, 2)
+    server = VideoGenerationServer(
+        pipe, [bucket], max_batch=2, max_sequence_length=8, attn_impl="xla",
+        use_pcg_rng=False,
+    ).warmup().start()
+    try:
+        out = server.generate_sync(
+            Request(prompt="a cat", bucket=bucket, seed=9,
+                    output_type="tensor"),
+            timeout=300,
+        )
+    finally:
+        server.stop()
+    ref = generate(
+        pipe, prompt="a cat", height=64, width=64, num_frames=5,
+        num_inference_steps=2, guidance_scale=1.0, stg_scale=0.0,
+        seed=9, output_type="tensor", max_sequence_length=8,
+        attn_impl="xla", use_pcg_rng=False,
+    )  # guidance_scale=1.0: the bucket's guidance=False maps there
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=1e-3, rtol=1e-5,
+    )
