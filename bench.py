@@ -317,14 +317,16 @@ def main():
           "ms", VAE_BASELINE_MS / (vae_s * 1000.0))
 
     # ---- 1b. VAE encode (parity-tested path, first perf record) ------------
-    # BEFORE the 5.1 GiB T5 is resident: even the facade's spatial-tiled
-    # encode (the reference's own path at this size, vae.rs:1426-1467)
-    # peaks ~6 GiB of activations; the round-5 first cut ran it after e2e
-    # with everything resident and RESOURCE_EXHAUSTED'd the chip.
+    # BEFORE the 5.1 GiB T5 is resident: the untiled encode peaks ~9 GiB of
+    # activations (the round-5 first cut ran it after e2e with everything
+    # resident and RESOURCE_EXHAUSTED'd the chip).  UNTILED is the TPU
+    # production path (same argument as decode — the reference must tile at
+    # this size on 12 GB, vae.rs:1426-1467; one v5e fits it whole), on the
+    # round-5 channels-last encoder (907 ms vs 1187 NCDHW vs 1843 tiled).
     x97 = jnp.asarray(rng.normal(size=(1, 3, 97, 512, 768)) * 0.5, jnp.bfloat16)
     try:
         enc_s, _ = _timed_best(
-            lambda: V.encode(vae_params, vcfg, x97), fetch
+            lambda: V.encode(vae_params, vcfg, x97, use_tiling=False), fetch
         )
         _stage("vae encode measured")
         _emit("vae_encode_ms_512x768x97f", enc_s * 1000.0, "ms", None)

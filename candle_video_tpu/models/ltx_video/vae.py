@@ -391,6 +391,92 @@ def encoder_forward(params, cfg: LtxVaeConfig, x):
     return jnp.concatenate([h, rep], axis=1)
 
 
+def _patchify_cl(x, p: int, pt: int):
+    """Channels-last _patchify: (B,F,H,W,C) -> (B, F/pt, H/p, W/p,
+    C*pt*p*p) with the SAME [c, pt, p_w, p_h] channel order as the NCDHW
+    path (vae.rs:1426-1444), so weights load unchanged."""
+    b, f, h, w, c = x.shape
+    x = x.reshape(b, f // pt, pt, h // p, p, w // p, p, c)
+    #                1       2    3     4   5     6  7
+    x = x.transpose(0, 1, 3, 5, 7, 2, 6, 4)  # [B,F',H',W', c, pt, pW, pH]
+    return x.reshape(b, f // pt, h // p, w // p, c * pt * p * p)
+
+
+def _pixel_unshuffle_downsample_cl(p, x, stride, out_channels: int,
+                                   causal=True):
+    """Channels-last LtxVideoDownsampler3d (vae.rs:497-582): same math as
+    the NCDHW twin — duplicate-first-frames temporal pad, conv, then
+    space(-time)-to-channel unshuffle with [c, st, sh, sw] channel order,
+    plus the grouped-mean residual."""
+    st, sh, sw = stride
+    b, t, hgt, wid, c = x.shape
+    group_size = c * st * sh * sw // out_channels
+
+    if st > 1:
+        x = jnp.concatenate([x[:, : st - 1], x], axis=1)
+    t_pad = x.shape[1]
+    t_new, h_new, w_new = t_pad // st, hgt // sh, wid // sw
+
+    def unshuffle(y):
+        cy = y.shape[-1]
+        y = y.reshape(b, t_new, st, h_new, sh, w_new, sw, cy)
+        y = y.transpose(0, 1, 3, 5, 7, 2, 4, 6)  # [B,T',H',W', cy, st, sh, sw]
+        return y.reshape(b, t_new, h_new, w_new, cy * st * sh * sw)
+
+    residual = unshuffle(x)
+    residual = residual.reshape(
+        b, t_new, h_new, w_new, c * st * sh * sw // group_size, group_size
+    ).mean(axis=-1)
+
+    hidden = _conv_cl(p["conv"], x, causal=causal)
+    hidden = unshuffle(hidden)
+    return hidden + residual
+
+
+def encoder_forward_cl(params, cfg: LtxVaeConfig, x):
+    """Channels-last encoder twin (production TPU path): NHWC conv2d-tap
+    convs + lane-axis norms, same structure as :func:`encoder_forward`
+    (the NCDHW parity oracle).  Takes/returns the NCDHW [B,C,F,H,W]
+    public contract; the layout transposes live at the boundary (the
+    moments output is tiny).  Measured 1187 -> ~700 ms untiled at
+    512x768x97f (docs/benchmark_results.md)."""
+    causal = cfg.is_causal
+    h = jnp.permute_dims(x, (0, 2, 3, 4, 1))  # -> [B,F,H,W,C]
+    h = _patchify_cl(h, cfg.patch_size, cfg.patch_size_t)
+    h = _conv_cl(params["conv_in"], h, causal=causal)
+
+    for i, bp in enumerate(params["down_blocks"]):
+        for rp in bp["resnets"]:
+            h = _resnet_block_cl(rp, cfg, h, causal=causal)
+        if bp.get("downsamplers"):
+            stride = _DOWNSAMPLE_STRIDES[cfg.downsample_types[i].lower()]
+            h = _pixel_unshuffle_downsample_cl(
+                bp["downsamplers"][0],
+                h,
+                stride,
+                cfg.block_out_channels[i + 1],
+                causal=causal,
+            )
+
+    for rp in params["mid_block"]["resnets"]:
+        h = _resnet_block_cl(rp, cfg, h, causal=causal)
+
+    h = _rms_norm(
+        h, 1e-8,
+        params.get("norm_out", {}).get("weight") if params.get("norm_out")
+        else None,
+        cl=True,
+    )
+    h = silu(h)
+    h = _conv_cl(params["conv_out"], h, causal=causal)
+
+    ch = h.shape[-1]
+    last = h[..., ch - 1 : ch]
+    rep = jnp.tile(last, (1, 1, 1, 1, ch - 2))
+    h = jnp.concatenate([h, rep], axis=-1)
+    return jnp.permute_dims(h, (0, 4, 1, 2, 3))  # -> [B,C',F',H',W']
+
+
 def _temb_scaled(params, temb):
     if temb is None:
         return None
@@ -1443,7 +1529,13 @@ def _jitted_decoder_fullstream(cfg: LtxVaeConfig, n_chunks: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_encoder(cfg: LtxVaeConfig):
+@functools.lru_cache(maxsize=8)
+def _jitted_encoder(cfg: LtxVaeConfig, channels_last: Optional[bool] = None):
+    """Default encode program: channels-last on by default (same
+    CVT_DECODER_LAYOUT=ncdhw opt-out as the decoder; the NCDHW
+    encoder_forward stays as the parity oracle)."""
+    if _use_channels_last(channels_last):
+        return jax.jit(lambda p, xx: encoder_forward_cl(p, cfg, xx))
     return jax.jit(lambda p, xx: encoder_forward(p, cfg, xx))
 
 

@@ -826,3 +826,47 @@ def test_decoder_ups_tail_stream_is_exact(rng):
         V._jitted_decoder_stream_ups(cfg, 2)(params["decoder"], z, temb)
     )
     np.testing.assert_allclose(got_j, ref, atol=5e-6, rtol=5e-6)
+
+
+def test_encoder_channels_last_matches_ncdhw(rng):
+    """Channels-last encoder twin (round 5 — the production encode path)
+    == the NCDHW oracle: patchify channel order, causal temporal padding,
+    pixel-unshuffle downsample order [c,st,sh,sw], grouped-mean residual,
+    and the logvar replication all layout-commute exactly."""
+    import jax
+
+    from candle_video_tpu.models.ltx_video import vae as V
+    from candle_video_tpu.models.ltx_video.vae_init import init_vae_params
+
+    cfg = V.LtxVaeConfig(
+        in_channels=3, out_channels=3, latent_channels=4,
+        block_out_channels=(8, 16, 32),
+        spatiotemporal_scaling=(True, True),
+        layers_per_block=(1, 1, 2),
+        patch_size=2, patch_size_t=1,
+        downsample_types=("spatiotemporal", "spatiotemporal"),
+        decoder_block_out_channels=(8, 16),
+        decoder_spatiotemporal_scaling=(True, True),
+        decoder_layers_per_block=(1, 1, 1),
+        decoder_upsample_residual=(True, True),
+        decoder_upsample_factor=(2, 2),
+        timestep_conditioning=True,
+        spatial_compression_ratio=8, temporal_compression_ratio=4,
+    )
+    params = init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    for f in (9, 1):  # causal frame contract: F = 4k+1 at this config
+        x = jnp.asarray(rng.normal(size=(1, 3, f, 32, 48)), jnp.float32)
+        a = np.asarray(V.encoder_forward(params["encoder"], cfg, x))
+        b = np.asarray(V.encoder_forward_cl(params["encoder"], cfg, x))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, atol=5e-6, rtol=1e-5)
+    # the facade's jitted default picks the CL twin (CVT_DECODER_LAYOUT
+    # gate shared with the decoder); untiled facade == the CL twin exactly
+    x = jnp.asarray(rng.normal(size=(1, 3, 9, 64, 64)), jnp.float32)
+    facade = np.asarray(V.encode(params, cfg, x, use_tiling=False))
+    direct = np.asarray(V.encoder_forward_cl(params["encoder"], cfg, x))
+    # jit vs eager fusion reorders f32 ops slightly
+    np.testing.assert_allclose(facade, direct, atol=5e-6, rtol=1e-5)
+    # spatial-tiled encode composes with the CL encode_fn (blended seams
+    # make it approximate by design — shape contract only)
+    assert V.encode(params, cfg, x).shape == facade.shape
