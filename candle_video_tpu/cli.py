@@ -69,7 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="interactive serving loop: compile the "
                         "(--height/--width/--num-frames/steps) bucket once, "
                         "then read one prompt per stdin line and write "
-                        "output-dir/serve_NNN.mp4 per request "
+                        "output-dir/serve_NNN.mp4 per request (GIF when no ffmpeg) "
                         "(serving.VideoGenerationServer; EOF or 'quit' ends)")
     p.add_argument("--serve-max-batch", type=int, default=1,
                    help="continuous-batching width for --serve; 1 is optimal "
