@@ -408,3 +408,31 @@ def test_string_prompt_serving(tiny_pipe_vae):
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=1e-3, rtol=1e-5,
     )
+
+
+def test_cli_run_serve_loop(tiny_pipe_vae, tmp_path, monkeypatch):
+    """The --serve REPL body (cli.run_serve): prompts stream from stdin,
+    each produces a video file, 'quit' ends cleanly, served count reported.
+    (Driven on the real chip in round-5 verification; this locks the loop
+    logic — bucket construction, string-prompt requests, file naming.)"""
+    import argparse
+    import io
+
+    from candle_video_tpu.cli import run_serve
+
+    args = argparse.Namespace(
+        height=64, width=64, num_frames=5,
+        num_inference_steps=None, guidance_scale=None,
+        negative_prompt="bad",
+        serve_max_batch=1, pcg_rng=False, vae_stream_chunks=0,
+        attn_impl="xla", output_dir=str(tmp_path), frame_rate=25.0,
+        max_sequence_length=8, seed=5,
+    )
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("a cat\n\na dog\nquit\nnever seen\n")
+    )
+    rc = run_serve(args, tiny_pipe_vae)
+    assert rc == 0
+    made = sorted(p.name for p in tmp_path.iterdir())
+    assert len(made) == 2 and made[0].startswith("serve_000")
+    assert made[1].startswith("serve_001")
